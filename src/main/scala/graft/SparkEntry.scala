@@ -1,13 +1,672 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.plans._
+import graft.functions.{Heuristics, Scrub}
+import graft.operators.{Dedup, Multimodal, QualityFilter, Similarity}
+import graft.sources.Pages
+import graft.streaming.EventStream
+
+/** Driver contract — one `queries` entry per implemented operator
+  * (SURVEY.md §2), with a DuckDB-equivalent oracle where the operator is
+  * SQL-expressible. Column names are aligned between both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private val runId = "r1"
+  private val runTime = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+
+  /** Metric-row subset stable across engines (drops lit-only columns). */
+  private def metricCols(df: DataFrame, round4: Boolean = false): DataFrame = {
+    val v = if (round4) round(col("actual_value"), 4) else col("actual_value")
+    df.select(col("name"), col("check_id"), v.as("actual_value"),
+      col("success"), col("fail"))
+  }
+
+  private def check(name: String, dataset: String, ct: CheckType,
+                    measure: Option[String] = None,
+                    condition: Condition = Condition.Gt,
+                    threshold: Either[Double, (Double, Double)] = Left(0.0),
+                    dims: Seq[String] = Nil, filter: Option[String] = None,
+                    td: Option[TimeDimension] = None): Check =
+    Check(name, Seq(dataset), ct, measure, condition, threshold, dims, filter, td)
+
+  private def runCheck(s: SparkSession, dir: String, c: Check,
+                       tabs: Seq[String]): DataFrame = {
+    val tables = tabs.map(n => n -> t(s, dir, n)).toMap
+    tables.foreach { case (n, df) => df.createOrReplaceTempView(n) }
+    CheckCompiler.run(c, s, tables, "default", runId, runTime)
+  }
+
+  /** Flagship: full quality-filter pipeline (heuristics + langid +
+    * perplexity + scrub + verdict) over the pages table at sf0.001.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    QualityFilter.run(Pages.load(spark, "/root/testdata/sf0.001"))
+      .select("url", "lang", "lang_pred", "langid_score", "ppl",
+        "quality_score", "keep", "fail_reasons", "scrubbed_text")
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- check framework: aggregation checks (SURVEY §2.4, §2.9) ----
+    "q_check_row_count" -> ((s, dir) => metricCols(
+      runCheck(s, dir, check("row_count_lineitem", "lineitem",
+        CheckType.RowCount, condition = Condition.Gt, threshold = Left(1000),
+        filter = Some("l_returnflag = 'R'")), Seq("lineitem")))),
+
+    "q_check_row_count_dims" -> ((s, dir) => metricCols(
+      runCheck(s, dir, check("orders_by_priority", "orders",
+        CheckType.RowCount, condition = Condition.Gt, threshold = Left(10),
+        dims = Seq("o_orderpriority")), Seq("orders")))),
+
+    "q_check_sum_time" -> ((s, dir) => metricCols(
+      runCheck(s, dir, check("sum_qty", "lineitem", CheckType.Sum,
+        measure = Some("l_quantity"), condition = Condition.Gt,
+        threshold = Left(100),
+        dims = Seq("l_returnflag"),
+        td = Some(TimeDimension("l_shipdate", "month"))), Seq("lineitem")))),
+
+    "q_check_min" -> ((s, dir) => metricCols(
+      runCheck(s, dir, check("min_price", "orders", CheckType.Min,
+        measure = Some("o_totalprice"), condition = Condition.Ge,
+        threshold = Left(0), dims = Seq("o_orderpriority")), Seq("orders")),
+      round4 = true)),
+
+    "q_check_max" -> ((s, dir) => metricCols(
+      runCheck(s, dir, check("max_price", "orders", CheckType.Max,
+        measure = Some("o_totalprice"), condition = Condition.Le,
+        threshold = Left(1000000), dims = Seq("o_orderstatus")), Seq("orders")),
+      round4 = true)),
+
+    "q_check_numeric_between" -> ((s, dir) => metricCols(
+      runCheck(s, dir, check("avg_price_band", "orders", CheckType.Numeric,
+        measure = Some("avg(o_totalprice)"), condition = Condition.Between,
+        threshold = Right((1000.0, 500000.0))), Seq("orders")), round4 = true)),
+
+    // inline-SQL dataset (SURVEY §2.1 S2) + not_empty per-dimension
+    "q_check_not_empty" -> ((s, dir) => metricCols(
+      runCheck(s, dir, check("evt_not_empty",
+        "SELECT nullif(event_type, 'click') AS et2, value FROM events",
+        CheckType.NotEmpty, condition = Condition.Le, threshold = Left(0),
+        dims = Seq("et2", "value")), Seq("events")))),
+
+    "q_check_not_empty_pct" -> ((s, dir) => metricCols(
+      runCheck(s, dir, check("evt_not_empty_pct",
+        "SELECT nullif(event_type, 'click') AS et2, value FROM events",
+        CheckType.NotEmptyPct, condition = Condition.Le, threshold = Left(0.5),
+        dims = Seq("et2", "value")), Seq("events")), round4 = true)),
+
+    // multi-dataset fan-out (SURVEY §2.1 S3)
+    "q_check_multi_dataset" -> ((s, dir) => metricCols(
+      runCheck(s, dir, Check("rc_multi", Seq("orders", "lineitem"),
+        CheckType.RowCount, condition = Condition.Gt, threshold = Left(0)),
+        Seq("orders", "lineitem")))),
+
+    // anomaly: MAD robust z-score per dimension (SURVEY §2.10)
+    "q_check_anomaly" -> ((s, dir) => {
+      val history = t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("run_time"))
+        .agg(count(lit(1)).cast(DoubleType).as("actual_value"))
+        .withColumn("check_id", lit("evtcount"))
+      val c = Check("daily_volume", Seq("metrics"), CheckType.Anomaly,
+        condition = Condition.Between, threshold = Right((-3.5, 3.5)),
+        dimensions = Seq("event_type"), checkId = Some("evtcount"))
+      AnomalyJob.run(c, history)
+        .select(col("event_type"), round(col("z_score"), 4).as("z_score"),
+          col("last_value"), col("n"), col("success"))
+    }),
+
+    // metric-store summary counts (SURVEY §2.4 A10)
+    "q_metrics_summary" -> ((s, dir) => {
+      val rows = runCheck(s, dir, check("orders_by_priority", "orders",
+        CheckType.RowCount, condition = Condition.Gt, threshold = Left(3000),
+        dims = Seq("o_orderpriority")), Seq("orders"))
+      rows.agg(count(lit(1)).as("total"),
+        sum(when(col("success"), 1L).otherwise(0L)).as("success_count"),
+        sum(when(col("fail"), 1L).otherwise(0L)).as("fail_count"))
+    }),
+
+    // latest-value-per-key semantic measure (SURVEY §2.5 W1) — max_by
+    "q_latest_metric" -> ((s, dir) => t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(max_by(col("value"), col("event_id")).as("last_value"),
+        max(col("event_id")).as("last_event_id"))),
+
+    // ordered history list (SURVEY §2.4 A12 / W2)
+    "q_history_list" -> ((s, dir) => t(s, dir, "events")
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("event_type"))
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("n")))),
+        x => x.getField("n")).as("history"))),
+
+    // ---- joins (SURVEY §2.3) ----
+    "q_join_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"), count(lit(1)).as("n_items"))
+    }),
+
+    "q_join_densify" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val days = e.select(date_trunc("day", col("ts")).as("d")).distinct()
+      val types = e.select(col("event_type")).distinct()
+      val counts = e.groupBy(col("event_type"),
+        date_trunc("day", col("ts")).as("d")).agg(count(lit(1)).as("n"))
+      types.crossJoin(days)
+        .join(counts, Seq("event_type", "d"), "left")
+        .select(col("event_type"), col("d"), coalesce(col("n"), lit(0L)).as("n"))
+    }),
+
+    "q_anti_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_nationkey"))
+    }),
+
+    "q_semi_join" -> ((s, dir) => {
+      val su = t(s, dir, "supplier")
+      val li = t(s, dir, "lineitem").filter(col("l_quantity") >= 45)
+      su.join(li, su("s_suppkey") === li("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_nationkey"))
+    }),
+
+    // broadcast dim-tree join: region <- nation <- customer
+    "q_join_broadcast_dims" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val n = broadcast(t(s, dir, "nation"))
+      val r = broadcast(t(s, dir, "region"))
+      c.join(n, c("c_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name")).agg(count(lit(1)).as("n_customers"))
+    }),
+
+    // ---- sorts / limits / top-k (SURVEY §2.6) ----
+    "q_topk" -> ((s, dir) => t(s, dir, "orders")
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+      .orderBy(col("price").desc, col("o_orderkey").asc).limit(20)),
+
+    // ---- set ops (SURVEY §2.7) ----
+    "q_union_rollup" -> ((s, dir) => {
+      val per = t(s, dir, "lineitem").groupBy(col("l_returnflag").as("flag"))
+        .agg(count(lit(1)).as("n"))
+      val all = t(s, dir, "lineitem")
+        .agg(count(lit(1)).as("n")).select(lit("ALL").as("flag"), col("n"))
+      per.unionByName(all)
+    }),
+
+    // ---- scalar functions (SURVEY §2.8 F1-F11) ----
+    "q_scalar_funcs" -> ((s, dir) => t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(min(col("o_orderdate")).as("first_date"))
+      .select(
+        col("o_orderpriority"),
+        CheckCompiler.dateTrunc("millennium", col("first_date")).as("millennium"),
+        CheckCompiler.dateTrunc("century", col("first_date")).as("century"),
+        CheckCompiler.dateTrunc("decade", col("first_date")).as("decade"),
+        CheckCompiler.dateTrunc("quarter", col("first_date")).as("quarter"),
+        sha2(concat(lit("default"), col("o_orderpriority")), 256).as("check_id"),
+        when(col("o_orderpriority") === "1-URGENT", "fail")
+          .otherwise("success").as("status"),
+        array_join(array(lit(10.5), lit(20.5)), ",").as("threshold_str"),
+        coalesce(lit(null).cast(DoubleType), lit(0.0)).as("coalesced"))),
+
+    // ---- event-time tumbling window, batch twin of the streaming job ----
+    "q_event_window" -> ((s, dir) =>
+      EventStream.windowedAgg(t(s, dir, "events"))),
+
+    // ---- text analysis over documents ----
+    "text_quality" -> ((s, dir) => t(s, dir, "documents").select(
+      col("doc_id"),
+      Heuristics.docLength(col("text")).as("doc_length"),
+      Heuristics.wordCount(col("text")).as("word_count"),
+      Heuristics.tokenCount(col("text")).as("token_count"),
+      round(Heuristics.symbolWordRatio(col("text")), 6).as("symbol_word_ratio"),
+      round(Heuristics.stopwordFraction(col("text")), 6).as("stopword_fraction"),
+      round(Heuristics.wordRepetitionRatio(col("text")), 6).as("word_repetition"),
+      Heuristics.qualityScore(col("text")).as("quality_score"))),
+
+    "text_fingerprint" -> ((s, dir) => t(s, dir, "documents").select(
+      col("doc_id"), Heuristics.fingerprintMd5(col("text")).as("fingerprint"))),
+
+    // langid + perplexity: model measures, not SQL-expressible (rows-only)
+    "text_langid" -> ((s, dir) =>
+      graft.functions.ModelScores.withScores(
+        t(s, dir, "documents").select(col("doc_id"), col("text")), "text")
+        .select(col("doc_id"), col("lang_pred"),
+          round(col("langid_score"), 6).as("langid_score"),
+          round(col("ppl"), 4).as("ppl"))),
+
+    // ---- dedup family over documents ----
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(t(s, dir, "documents"), "text", "doc_id")
+        .select(col("doc_id"), col("fingerprint"), col("is_dup"))),
+
+    "dedup_jaccard_pairs" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("shs"))
+      val a = d.select(col("doc_id").as("key_a"), col("shs").as("sa"))
+      val b = d.select(col("doc_id").as("key_b"), col("shs").as("sb"))
+      a.join(b, col("key_b") === col("key_a") + 1)
+        .select(col("key_a"), col("key_b"),
+          round(size(array_intersect(col("sa"), col("sb"))).cast(DoubleType) /
+            (size(col("sa")) + size(col("sb")) -
+              size(array_intersect(col("sa"), col("sb")))).cast(DoubleType), 6)
+            .as("jaccard"))
+    }),
+
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+        jaccardThreshold = 0.5)),
+
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 8)),
+
+    "dedup_ngram_inverted" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.5)),
+
+    // ---- similarity search over embeddings ----
+    "ann_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+      Similarity.bruteForceTopK(e, "vec_id", "embedding", q, 10)
+        .select(col("vec_id"), round(col("score"), 6).as("score"))
+    }),
+
+    "ann_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+      Similarity.lshTopK(e, "vec_id", "embedding", q, 10, bits = 4)
+        .select(col("vec_id"), round(col("score"), 6).as("score"))
+    }),
+
+    "emb_cosine_pairs" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val a = e.select(col("vec_id").as("key_a"), col("embedding").as("va"))
+      val b = e.select(col("vec_id").as("key_b"), col("embedding").as("vb"))
+      a.join(b, col("key_b") === col("key_a") + 1)
+        .select(col("key_a"), col("key_b"),
+          round(Similarity.cosine(col("va"), col("vb")), 6).as("cosine"))
+    }),
+
+    // ---- quality-filter pipeline over synthesized pages ----
+    "scrub_pii" -> ((s, dir) => Pages.load(s, dir)
+      .select(col("url"), Scrub.scrub(col("text")).as("scrubbed_text"))),
+
+    "pipeline_verdict" -> ((s, dir) => {
+      val v = QualityFilter.run(Pages.load(s, dir), QualityFilter.heuristicRules)
+      v.select(col("url"), col("keep"), col("fail_reasons"),
+        col("quality_score"))
+    }),
+
+    // full pipeline incl. model measures + per-partition lineage (rows-only)
+    "pipeline_full" -> ((s, dir) => {
+      val v = QualityFilter.run(Pages.load(s, dir))
+      QualityFilter.partitionMetrics(v, QualityFilter.defaultRules,
+        runId, runTime)
+    }),
+
+    // ---- multimodal binary-column handling ----
+    "multimodal_meta" -> ((s, dir) =>
+      Multimodal.mediaMeta(Pages.load(s, dir), "url", "html")),
+
+    "multimodal_features" -> ((s, dir) =>
+      Multimodal.withMediaFeatures(Pages.load(s, dir)
+        .select(col("url"), col("html")), "html")
+        .select(col("url"), col("media_format"), col("media_bytes"),
+          col("media_features")))
+  )
+
+  // ------------------------------------------------------------- oracleSql
+
+  private val pagesCte = Pages.duckdbCte
+
+  private val docWords =
+    """list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+      |            x -> length(x) > 0)""".stripMargin
+
+  private val docShingles =
+    s"""CASE WHEN len($docWords) < 3
+       |     THEN [array_to_string($docWords, ' ')]
+       |     ELSE list_distinct(list_transform(
+       |       range(1, len($docWords) - 1),
+       |       i -> ($docWords)[i] || ' ' ||
+       |            ($docWords)[i+1] || ' ' ||
+       |            ($docWords)[i+2]))
+       |END""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "q_check_row_count" ->
+      """SELECT 'row_count_lineitem' AS name,
+        |  sha256('default' || 'row_count_lineitem' || 'lineitem') AS check_id,
+        |  count(*)::DOUBLE AS actual_value,
+        |  count(*) > 1000 AS success, NOT (count(*) > 1000) AS fail
+        |FROM lineitem WHERE l_returnflag = 'R'""".stripMargin,
+
+    "q_check_row_count_dims" ->
+      """SELECT 'orders_by_priority_o_orderpriority_' || o_orderpriority AS name,
+        |  sha256('default' || 'orders_by_priority_o_orderpriority_' ||
+        |         o_orderpriority || 'orders') AS check_id,
+        |  count(*)::DOUBLE AS actual_value,
+        |  count(*) > 10 AS success, NOT (count(*) > 10) AS fail
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q_check_sum_time" ->
+      """SELECT 'sum_qty_l_returnflag_' || l_returnflag ||
+        |  '_l_shipdate_month_' || date_trunc('month', l_shipdate)::TIMESTAMP::VARCHAR AS name,
+        |  sha256('default' || 'sum_qty_l_returnflag_' || l_returnflag ||
+        |    '_l_shipdate_month_' || date_trunc('month', l_shipdate)::TIMESTAMP::VARCHAR ||
+        |    'lineitem') AS check_id,
+        |  sum(l_quantity)::DOUBLE AS actual_value,
+        |  sum(l_quantity) > 100 AS success, NOT (sum(l_quantity) > 100) AS fail
+        |FROM lineitem GROUP BY l_returnflag, date_trunc('month', l_shipdate)""".stripMargin,
+
+    "q_check_min" ->
+      """SELECT 'min_price_o_orderpriority_' || o_orderpriority AS name,
+        |  sha256('default' || 'min_price_o_orderpriority_' || o_orderpriority
+        |    || 'orders') AS check_id,
+        |  round(min(o_totalprice), 4) AS actual_value,
+        |  min(o_totalprice) >= 0 AS success,
+        |  NOT (min(o_totalprice) >= 0) AS fail
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q_check_max" ->
+      """SELECT 'max_price_o_orderstatus_' || o_orderstatus AS name,
+        |  sha256('default' || 'max_price_o_orderstatus_' || o_orderstatus
+        |    || 'orders') AS check_id,
+        |  round(max(o_totalprice), 4) AS actual_value,
+        |  max(o_totalprice) <= 1000000 AS success,
+        |  NOT (max(o_totalprice) <= 1000000) AS fail
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "q_check_numeric_between" ->
+      """SELECT 'avg_price_band' AS name,
+        |  sha256('default' || 'avg_price_band' || 'orders') AS check_id,
+        |  round(avg(o_totalprice), 4) AS actual_value,
+        |  (avg(o_totalprice) >= 1000.0 AND avg(o_totalprice) <= 500000.0) AS success,
+        |  NOT (avg(o_totalprice) >= 1000.0 AND avg(o_totalprice) <= 500000.0) AS fail
+        |FROM orders""".stripMargin,
+
+    "q_check_not_empty" ->
+      """WITH ds AS (SELECT nullif(event_type, 'click') AS et2, value FROM events),
+        |agg AS (SELECT
+        |  sum(CASE WHEN et2 IS NULL THEN 1 ELSE 0 END)::DOUBLE AS v_et2,
+        |  sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)::DOUBLE AS v_value
+        |FROM ds)
+        |SELECT u.name,
+        |  sha256('default' || u.name || 'events') AS check_id,
+        |  u.actual_value, u.actual_value <= 0 AS success,
+        |  NOT (u.actual_value <= 0) AS fail
+        |FROM (SELECT 'evt_not_empty_et2_not_empty' AS name, v_et2 AS actual_value FROM agg
+        |      UNION ALL
+        |      SELECT 'evt_not_empty_value_not_empty', v_value FROM agg) u""".stripMargin,
+
+    "q_check_not_empty_pct" ->
+      """WITH ds AS (SELECT nullif(event_type, 'click') AS et2, value FROM events),
+        |agg AS (SELECT
+        |  sum(CASE WHEN et2 IS NULL THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE AS v_et2,
+        |  sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE AS v_value
+        |FROM ds)
+        |SELECT u.name,
+        |  sha256('default' || u.name || 'events') AS check_id,
+        |  round(u.actual_value, 4) AS actual_value,
+        |  u.actual_value <= 0.5 AS success, NOT (u.actual_value <= 0.5) AS fail
+        |FROM (SELECT 'evt_not_empty_pct_et2_not_empty_pct' AS name, v_et2 AS actual_value FROM agg
+        |      UNION ALL
+        |      SELECT 'evt_not_empty_pct_value_not_empty_pct', v_value FROM agg) u""".stripMargin,
+
+    "q_check_multi_dataset" ->
+      """SELECT 'rc_multi' AS name,
+        |  sha256('default' || 'rc_multi' || 'orders') AS check_id,
+        |  count(*)::DOUBLE AS actual_value, count(*) > 0 AS success,
+        |  NOT (count(*) > 0) AS fail FROM orders
+        |UNION ALL
+        |SELECT 'rc_multi', sha256('default' || 'rc_multi' || 'lineitem'),
+        |  count(*)::DOUBLE, count(*) > 0, NOT (count(*) > 0) FROM lineitem""".stripMargin,
+
+    "q_check_anomaly" ->
+      """WITH h AS (
+        |  SELECT event_type, date_trunc('day', ts) AS d, count(*)::DOUBLE AS v
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT event_type, median(v) AS med, mad(v) AS madv,
+        |         arg_max(v, d) AS lst, count(*) AS n
+        |  FROM h GROUP BY 1),
+        |z AS (
+        |  SELECT event_type,
+        |    CASE WHEN floor(madv) = 0 THEN 0.0
+        |         ELSE 0.6745 * (lst - med) / madv END AS zs,
+        |    lst, n FROM s)
+        |SELECT event_type, round(zs, 4) AS z_score, lst AS last_value, n,
+        |  CASE WHEN n < 5 THEN false
+        |       ELSE (zs >= -3.5 AND zs <= 3.5) END AS success
+        |FROM z""".stripMargin,
+
+    "q_metrics_summary" ->
+      """WITH rows_ AS (
+        |  SELECT count(*) > 3000 AS success FROM orders GROUP BY o_orderpriority)
+        |SELECT count(*) AS total,
+        |  sum(CASE WHEN success THEN 1 ELSE 0 END) AS success_count,
+        |  sum(CASE WHEN NOT success THEN 1 ELSE 0 END) AS fail_count
+        |FROM rows_""".stripMargin,
+
+    "q_latest_metric" ->
+      """SELECT event_type, arg_max(value, event_id) AS last_value,
+        |  max(event_id) AS last_event_id
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_history_list" ->
+      """WITH h AS (
+        |  SELECT event_type, date_trunc('day', ts) AS d, count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, list(n ORDER BY d ASC) AS history
+        |FROM h GROUP BY event_type""".stripMargin,
+
+    "q_join_revenue" ->
+      """SELECT o_orderpriority,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q_join_densify" ->
+      """WITH days AS (SELECT DISTINCT date_trunc('day', ts)::TIMESTAMP AS d FROM events),
+        |types AS (SELECT DISTINCT event_type FROM events),
+        |counts AS (SELECT event_type, date_trunc('day', ts)::TIMESTAMP AS d, count(*) AS n
+        |           FROM events GROUP BY 1, 2)
+        |SELECT t.event_type, days.d, coalesce(c.n, 0) AS n
+        |FROM types t CROSS JOIN days
+        |LEFT JOIN counts c ON c.event_type = t.event_type AND c.d = days.d""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_nationkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT s_suppkey, s_nationkey FROM supplier
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_suppkey = s_suppkey AND l_quantity >= 45)""".stripMargin,
+
+    "q_join_broadcast_dims" ->
+      """SELECT r_name, count(*) AS n_customers
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+
+    "q_topk" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders
+        |ORDER BY price DESC, o_orderkey ASC LIMIT 20""".stripMargin,
+
+    "q_union_rollup" ->
+      """SELECT l_returnflag AS flag, count(*) AS n FROM lineitem GROUP BY 1
+        |UNION ALL
+        |SELECT 'ALL', count(*) FROM lineitem""".stripMargin,
+
+    "q_scalar_funcs" ->
+      """WITH g AS (SELECT o_orderpriority, min(o_orderdate) AS first_date
+        |           FROM orders GROUP BY 1)
+        |SELECT o_orderpriority,
+        |  date_trunc('millennium', first_date)::TIMESTAMP AS millennium,
+        |  date_trunc('century', first_date)::TIMESTAMP AS century,
+        |  date_trunc('decade', first_date)::TIMESTAMP AS decade,
+        |  date_trunc('quarter', first_date)::TIMESTAMP AS quarter,
+        |  sha256('default' || o_orderpriority) AS check_id,
+        |  CASE WHEN o_orderpriority = '1-URGENT' THEN 'fail'
+        |       ELSE 'success' END AS status,
+        |  array_to_string([10.5, 20.5], ',') AS threshold_str,
+        |  coalesce(NULL::DOUBLE, 0.0) AS coalesced
+        |FROM g""".stripMargin,
+
+    "q_event_window" ->
+      """SELECT date_trunc('hour', ts) +
+        |  to_minutes((extract(minute FROM ts)::BIGINT // 5) * 5) AS win_start,
+        |  event_type, count(*) AS n, round(sum(value), 4) AS v
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "text_quality" ->
+      """WITH w AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+        |                x -> length(x) > 0) AS words
+        |  FROM documents)
+        |SELECT doc_id,
+        |  length(text) AS doc_length,
+        |  len(words) AS word_count,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS token_count,
+        |  round(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE /
+        |    greatest(len(words), 1)::DOUBLE, 6) AS symbol_word_ratio,
+        |  round(len(list_filter(words, x -> list_contains(
+        |    ['the','a','an','and','or','of','to','in','is','it','that','for',
+        |     'on','with','as','was','at','by','be','this'], lower(x))))::DOUBLE /
+        |    greatest(len(words), 1)::DOUBLE, 6) AS stopword_fraction,
+        |  round(CASE WHEN len(words) = 0 THEN 0.0
+        |    ELSE 1.0 - len(list_distinct(words))::DOUBLE / len(words)::DOUBLE END, 6)
+        |    AS word_repetition,
+        |  round(
+        |    least(length(text)::DOUBLE / 500.0, 1.0) * 0.3 +
+        |    least((len(list_filter(words, x -> list_contains(
+        |      ['the','a','an','and','or','of','to','in','is','it','that','for',
+        |       'on','with','as','was','at','by','be','this'], lower(x))))::DOUBLE /
+        |      greatest(len(words), 1)::DOUBLE) / 0.1, 1.0) * 0.3 +
+        |    greatest(1.0 - (length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE /
+        |      greatest(len(words), 1)::DOUBLE) * 2.0, 0.0) * 0.2 +
+        |    greatest(1.0 - (CASE WHEN len(words) = 0 THEN 0.0
+        |      ELSE 1.0 - len(list_distinct(words))::DOUBLE / len(words)::DOUBLE END),
+        |      0.0) * 0.2, 6) AS quality_score
+        |FROM w""".stripMargin,
+
+    "text_fingerprint" ->
+      "SELECT doc_id, md5(coalesce(text, '')) AS fingerprint FROM documents",
+
+    "dedup_exact" ->
+      """SELECT doc_id, md5(coalesce(text, '')) AS fingerprint,
+        |  row_number() OVER (PARTITION BY md5(coalesce(text, ''))
+        |                     ORDER BY doc_id ASC) > 1 AS is_dup
+        |FROM documents""".stripMargin,
+
+    "dedup_jaccard_pairs" ->
+      s"""WITH d AS (SELECT doc_id, $docShingles AS shs FROM documents)
+         |SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+         |  round(len(list_filter(a.shs, x -> list_contains(b.shs, x)))::DOUBLE /
+         |    (len(a.shs) + len(b.shs) -
+         |     len(list_filter(a.shs, x -> list_contains(b.shs, x))))::DOUBLE, 6)
+         |  AS jaccard
+         |FROM d a JOIN d b ON b.doc_id = a.doc_id + 1""".stripMargin,
+
+    "ann_topk" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id,
+        |  round(list_dot_product(embedding::DOUBLE[], qv) /
+        |    (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+        |     sqrt(list_dot_product(qv, qv))), 6) AS score
+        |FROM embeddings, q
+        |ORDER BY list_dot_product(embedding::DOUBLE[], qv) /
+        |  (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+        |   sqrt(list_dot_product(qv, qv))) DESC, vec_id ASC
+        |LIMIT 10""".stripMargin,
+
+    "emb_cosine_pairs" ->
+      """SELECT a.vec_id AS key_a, b.vec_id AS key_b,
+        |  round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+        |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)
+        |  AS cosine
+        |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1""".stripMargin,
+
+    "scrub_pii" ->
+      s"""WITH $pagesCte
+         |SELECT url,
+         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |  regexp_replace(regexp_replace(coalesce(text, ''),
+         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |    '\\b(?:\\d{4}[ -]){3}\\d{4}\\b', '<CC>', 'g'),
+         |    '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g'),
+         |    '(?:\\+?1[ .-])?(?:\\(\\d{3}\\)[ .-]?|\\b\\d{3}[ .-])\\d{3}[ .-]\\d{4}\\b', '<PHONE>', 'g'),
+         |    '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
+         |    '(?i)\\b(?:badword1|badword2|slur1)\\b', '<TOX>', 'g') AS scrubbed_text
+         |FROM pages""".stripMargin,
+
+    "pipeline_verdict" ->
+      s"""WITH $pagesCte,
+         |m AS (
+         |  SELECT url, text,
+         |    list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+         |                x -> length(x) > 0) AS words
+         |  FROM pages),
+         |r AS (
+         |  SELECT url, text, words,
+         |    length(coalesce(text,'')) AS dl,
+         |    length(regexp_replace(coalesce(text,''), '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE /
+         |      greatest(len(words), 1)::DOUBLE AS swr,
+         |    len(list_filter(words, x -> list_contains(
+         |      ['the','a','an','and','or','of','to','in','is','it','that','for',
+         |       'on','with','as','was','at','by','be','this'], lower(x))))::DOUBLE /
+         |      greatest(len(words), 1)::DOUBLE AS stop,
+         |    CASE WHEN len(words) = 0 THEN 0.0
+         |         ELSE 1.0 - len(list_distinct(words))::DOUBLE / len(words)::DOUBLE
+         |    END AS rep,
+         |    0.0 AS dup
+         |  FROM m)
+         |SELECT url,
+         |  (dl >= 100) AND (swr <= 0.1) AND (stop >= 0.01) AND (rep <= 0.9)
+         |    AND (dup <= 0.3) AS keep,
+         |  list_filter([
+         |    CASE WHEN NOT (dl >= 100) THEN 'min_doc_length' END,
+         |    CASE WHEN NOT (swr <= 0.1) THEN 'max_symbol_word_ratio' END,
+         |    CASE WHEN NOT (stop >= 0.01) THEN 'min_stopword_fraction' END,
+         |    CASE WHEN NOT (rep <= 0.9) THEN 'max_word_repetition' END,
+         |    CASE WHEN NOT (dup <= 0.3) THEN 'max_dup_line_fraction' END],
+         |    x -> x IS NOT NULL) AS fail_reasons,
+         |  round(
+         |    least(dl::DOUBLE / 500.0, 1.0) * 0.3 +
+         |    least(stop / 0.1, 1.0) * 0.3 +
+         |    greatest(1.0 - swr * 2.0, 0.0) * 0.2 +
+         |    greatest(1.0 - rep, 0.0) * 0.2, 6) AS quality_score
+         |FROM r""".stripMargin,
+
+    "multimodal_meta" ->
+      s"""WITH $pagesCte
+         |SELECT url,
+         |  octet_length(encode('<html><body>' || text || '</body></html>'))::BIGINT
+         |    AS media_bytes,
+         |  'html' AS media_format
+         |FROM pages""".stripMargin
+  )
 }

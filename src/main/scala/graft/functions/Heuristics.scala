@@ -1,0 +1,117 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Per-document heuristic quality measures, compiled as pure Catalyst
+  * Columns (never UDFs) so every rule stays inside whole-stage codegen and
+  * the parquet scan can prune to just the `text` column.
+  *
+  * These are the web-text recast of the reference's free-form `measure`
+  * expressions (reference weiser/checks/numeric.py:6-14 injects arbitrary
+  * SQL scalars; here each named measure is a type-checked Column builder).
+  * The thresholds live in check configs, not here.
+  */
+object Heuristics {
+
+  /** Stopword list used by stopwordFraction; tiny by design (the measure is
+    * a coverage heuristic, not NLP). Frozen: changing it changes verdicts.
+    */
+  val stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "was", "at", "by", "be", "this")
+
+  def docLength(text: Column): Column = length(coalesce(text, lit("")))
+
+  /** Whitespace-delimited words with empty tokens dropped — robust to
+    * leading/trailing/mixed whitespace (note Spark's `trim` only strips
+    * 0x20, not tabs, so a filter beats a trim-then-split).
+    */
+  def words(text: Column): Column =
+    filter(split(coalesce(text, lit("")), "\\s+"), w => length(w) > 0)
+
+  def wordCount(text: Column): Column = size(words(text))
+
+  /** Count of "tokens" under a BPE-ish pre-tokenizer: letter runs, digit
+    * runs, and single non-alphanumeric glyphs — the usual byte-pair
+    * pre-segmentation shape, kept RE2-compatible for the DuckDB oracle.
+    */
+  def tokenCount(text: Column): Column =
+    size(regexp_extract_all(coalesce(text, lit("")),
+      lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Symbol characters (not alphanumeric, not whitespace) per word. */
+  def symbolWordRatio(text: Column): Column = {
+    val symbols = length(regexp_replace(coalesce(text, lit("")),
+      "[A-Za-z0-9\\s]", ""))
+    symbols.cast(DoubleType) / greatest(wordCount(text), lit(1)).cast(DoubleType)
+  }
+
+  /** Fraction of words that are stopwords — low coverage flags non-prose. */
+  def stopwordFraction(text: Column): Column = {
+    val stopArr = array(stopwords.map(lit): _*)
+    val hits = size(filter(words(text), w => array_contains(stopArr, lower(w))))
+    hits.cast(DoubleType) / greatest(wordCount(text), lit(1)).cast(DoubleType)
+  }
+
+  /** 1 - distinct/total words: repetition (spammy keyword stuffing). */
+  def wordRepetitionRatio(text: Column): Column = {
+    val n = wordCount(text)
+    when(n === 0, lit(0.0)).otherwise(
+      lit(1.0) - size(array_distinct(words(text))).cast(DoubleType) /
+        n.cast(DoubleType))
+  }
+
+  /** 1 - distinct/total non-blank lines: duplicated-line spam. */
+  def dupLineFraction(text: Column): Column = {
+    val lines = filter(split(coalesce(text, lit("")), "\n"),
+      l => length(trim(l)) > 0)
+    val n = size(lines)
+    when(n === 0, lit(0.0)).otherwise(
+      lit(1.0) - size(array_distinct(lines)).cast(DoubleType) / n.cast(DoubleType))
+  }
+
+  def meanWordLength(text: Column): Column = {
+    val nonSpace = length(regexp_replace(coalesce(text, lit("")), "\\s", ""))
+    nonSpace.cast(DoubleType) / greatest(wordCount(text), lit(1)).cast(DoubleType)
+  }
+
+  def upperFraction(text: Column): Column = {
+    val uppers = length(regexp_replace(coalesce(text, lit("")), "[^A-Z]", ""))
+    uppers.cast(DoubleType) / greatest(docLength(text), lit(1)).cast(DoubleType)
+  }
+
+  def digitFraction(text: Column): Column = {
+    val digits = length(regexp_replace(coalesce(text, lit("")), "[^0-9]", ""))
+    digits.cast(DoubleType) / greatest(docLength(text), lit(1)).cast(DoubleType)
+  }
+
+  /** Composite quality score in [0,1]; a fixed linear blend of the
+    * heuristics (weights frozen — they define the score's semantics).
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(docLength(text).cast(DoubleType) / lit(500.0), lit(1.0))
+    val stopScore = least(stopwordFraction(text) / lit(0.1), lit(1.0))
+    val symPenalty = greatest(lit(1.0) - symbolWordRatio(text) * lit(2.0), lit(0.0))
+    val repPenalty = greatest(lit(1.0) - wordRepetitionRatio(text), lit(0.0))
+    round(lenScore * lit(0.3) + stopScore * lit(0.3) +
+      symPenalty * lit(0.2) + repPenalty * lit(0.2), 6)
+  }
+
+  /** Document fingerprint: md5 hex of the raw text (exact-dup key). */
+  def fingerprintMd5(text: Column): Column = md5(coalesce(text, lit("")))
+
+  /** Rolling polynomial hash (base-31 mod 2^61-1) over the text's
+    * characters, computed with the higher-order `aggregate` function —
+    * stays in codegen, no UDF. Spark-side only (not oracle-expressible).
+    */
+  def rollingHash(text: Column): Column = {
+    val prime = 2305843009213693951L // 2^61 - 1
+    aggregate(
+      split(coalesce(text, lit("")), ""),
+      lit(0L),
+      (acc, ch) => pmod(acc * lit(31L) + coalesce(ascii(ch), lit(0)).cast("long"),
+        lit(prime)))
+  }
+}

@@ -1,0 +1,112 @@
+package graft.functions
+
+/** fastText-style language identification: hashed character n-gram (2- and
+  * 3-gram) features scored against per-language profile vectors, softmax
+  * over cosine scores. Entirely deterministic — the "model" is derived at
+  * class-init from the frozen seed corpora below (public common words), so
+  * every executor JVM materializes identical weights with no broadcast and
+  * no training loop. This plays the role of the reference's delegated
+  * MEASURE() model measures (weiser/checks/numeric.py:18-26): a named
+  * measure computed by an external model rather than a SQL expression.
+  */
+object LangId extends Serializable {
+
+  val langs: Array[String] = Array("en", "es", "fr", "de", "zh")
+
+  /** Frozen seed corpora: the most common function words per language. */
+  private[functions] val seeds: Map[String, String] = Map(
+    "en" -> ("the be to of and a in that have it for not on with he as you " +
+      "do at this but his by from they we say her she or an will my one all " +
+      "would there their what so up out if about who get which go me when " +
+      "make can like time no just him know take people into year your good " +
+      "some could them see other than then now look only come its over think " +
+      "also back after use two how our work first well way even new want " +
+      "because any these give day most us is was are been has had were said"),
+    "es" -> ("de la que el en y a los del se las por un para con no una su " +
+      "al lo como más pero sus le ya o este sí porque esta entre cuando muy " +
+      "sin sobre también me hasta hay donde quien desde todo nos durante " +
+      "todos uno les ni contra otros ese eso ante ellos e esto mí antes " +
+      "algunos qué unos yo otro otras otra él tanto esa estos mucho quienes " +
+      "nada muchos cual poco ella estar estas algunas algo nosotros"),
+    "fr" -> ("de la le et les des en un du une que est pour qui dans a par " +
+      "plus pas au sur ne se ce il sont la aux avec son ont cette mais ou où " +
+      "leur elle si tout comme nous sa ses mais été sont être avoir fait " +
+      "faire peut tous après autre bien deux même notre ans entre sans elle " +
+      "très votre aussi celui dont leurs moins ceux eux quelques toutes " +
+      "toujours alors depuis donc quand encore vers chez quel quelle"),
+    "de" -> ("der die und in den von zu das mit sich des auf für ist im dem " +
+      "nicht ein eine als auch es an werden aus er hat dass sie nach wird " +
+      "bei einer um am sind noch wie einem über einen so zum war haben nur " +
+      "oder aber vor zur bis mehr durch man sein wurde sei während zwischen " +
+      "immer wieder gegen vom ganz einzelnen wo muss ohne eines können sehr " +
+      "schon wenn hier alle diese seinem wäre ihren jahre mich"),
+    "zh" -> ("的一是在不了有和人这中大为上个国我以要他时来用们生到作地" +
+      "于出就分对成会可主发年动同工也能下过子说产种面而方后多定行学法" +
+      "所民得经十三之进着等部度家电力里如水化高自二理起小物现实加量都" +
+      "两体制机当使点从业本去把性好应开它 我们的 他们在 一个人 这是一" +
+      "个 大的国家 在学校 中文和 学习的 他们的 我们在 是一个 有一个")
+  )
+
+  val dim: Int = 1 << 14
+
+  /** FNV-1a over the n-gram's UTF-16 code units — stable across JVMs. */
+  private def fnv1a(s: CharSequence, from: Int, until: Int): Int = {
+    var h = 0x811c9dc5
+    var i = from
+    while (i < until) {
+      h ^= s.charAt(i).toInt
+      h *= 0x01000193
+      i += 1
+    }
+    (h & Int.MaxValue) % dim
+  }
+
+  /** Hashed char 1/2/3-gram count vector over " text " (padded), L2-normed.
+    * The 1-grams carry the character-inventory signal (decisive for CJK vs
+    * Latin scripts); 2/3-grams carry the orthographic signal.
+    */
+  def featurize(text: String): Array[Float] = {
+    val v = new Array[Float](dim)
+    if (text == null || text.isEmpty) return v
+    val t = " " + text.toLowerCase + " "
+    var i = 0
+    while (i < t.length - 1) {
+      v(fnv1a(t, i, i + 1)) += 1f
+      v(fnv1a(t, i, i + 2)) += 1f
+      if (i < t.length - 2) v(fnv1a(t, i, i + 3)) += 1f
+      i += 1
+    }
+    var norm = 0.0
+    var j = 0
+    while (j < dim) { norm += v(j) * v(j); j += 1 }
+    val n = math.sqrt(norm).toFloat
+    if (n > 0) { j = 0; while (j < dim) { v(j) /= n; j += 1 } }
+    v
+  }
+
+  /** Per-language profile vectors (the linear layer). */
+  lazy val profiles: Array[Array[Float]] = langs.map(l => featurize(seeds(l)))
+
+  /** (predicted lang, softmax confidence). Empty text -> ("und", 0.0). */
+  def predict(text: String): (String, Double) = {
+    if (text == null || text.trim.isEmpty) return ("und", 0.0)
+    val f = featurize(text)
+    val scores = new Array[Double](langs.length)
+    var k = 0
+    while (k < langs.length) {
+      val p = profiles(k)
+      var dot = 0.0
+      var j = 0
+      while (j < dim) { dot += f(j) * p(j); j += 1 }
+      scores(k) = dot
+      k += 1
+    }
+    var best = 0
+    k = 1
+    while (k < scores.length) { if (scores(k) > scores(best)) best = k; k += 1 }
+    // temperature-10 softmax so confident docs land near 1.0
+    val exps = scores.map(s => math.exp(10.0 * (s - scores(best))))
+    val conf = 1.0 / exps.sum
+    (langs(best), conf)
+  }
+}

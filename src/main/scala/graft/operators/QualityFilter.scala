@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.plans.{Condition, Conditions}
+import graft.functions.{Heuristics, ModelScores, Scrub}
+
+/** Per-row quality rule: the weiser Check shape (name / measure / condition
+  * / threshold, cf. weiser/loader/models.py:79-100) recast as a PER-DOCUMENT
+  * predicate instead of a per-table aggregate. This is the architectural
+  * inversion (SURVEY.md §7.1): the reference runs one aggregate query per
+  * check; at web scale we run ONE pass over pages evaluating every check as
+  * a column.
+  */
+final case class RowRule(
+    name: String,
+    measure: String,
+    condition: Condition,
+    threshold: Either[Double, (Double, Double)])
+
+object QualityFilter {
+
+  /** Named per-row measure registry (the MEASURE() analog,
+    * weiser/checks/numeric.py:18-26): measure name -> Column. Heuristics are
+    * pure Catalyst; `langid_score` and `ppl` reference columns materialized
+    * by ModelScores in the same pass.
+    */
+  def measureColumn(measure: String): Column = measure match {
+    case "doc_length"            => Heuristics.docLength(col("text")).cast(DoubleType)
+    case "word_count"            => Heuristics.wordCount(col("text")).cast(DoubleType)
+    case "token_count"           => Heuristics.tokenCount(col("text")).cast(DoubleType)
+    case "symbol_word_ratio"     => Heuristics.symbolWordRatio(col("text"))
+    case "stopword_fraction"     => Heuristics.stopwordFraction(col("text"))
+    case "word_repetition_ratio" => Heuristics.wordRepetitionRatio(col("text"))
+    case "dup_line_fraction"     => Heuristics.dupLineFraction(col("text"))
+    case "mean_word_length"      => Heuristics.meanWordLength(col("text"))
+    case "upper_fraction"        => Heuristics.upperFraction(col("text"))
+    case "digit_fraction"        => Heuristics.digitFraction(col("text"))
+    case "quality_score"         => Heuristics.qualityScore(col("text"))
+    case other                   => expr(other).cast(DoubleType) // column ref or SQL expr
+  }
+
+  /** Default rule set; thresholds frozen — they define the keep/drop
+    * semantics the F1 target is measured against.
+    */
+  val defaultRules: Seq[RowRule] = Seq(
+    RowRule("min_doc_length", "doc_length", Condition.Ge, Left(100)),
+    RowRule("max_symbol_word_ratio", "symbol_word_ratio", Condition.Le, Left(0.1)),
+    RowRule("min_stopword_fraction", "stopword_fraction", Condition.Ge, Left(0.01)),
+    RowRule("max_word_repetition", "word_repetition_ratio", Condition.Le, Left(0.9)),
+    RowRule("max_dup_line_fraction", "dup_line_fraction", Condition.Le, Left(0.3)),
+    RowRule("perplexity_band", "ppl", Condition.Between, Right((2.0, 200.0))),
+    RowRule("min_langid_score", "langid_score", Condition.Ge, Left(0.15))
+  )
+
+  /** Heuristic-only subset (no model columns) — SQL-expressible, used by
+    * the DuckDB-oracled pipeline query.
+    */
+  val heuristicRules: Seq[RowRule] =
+    defaultRules.filterNot(r => r.measure == "ppl" || r.measure == "langid_score")
+
+  /** Verdict columns for a rule set: (ruleName -> boolean pass Column).
+    * NULL measure => fail, inherited from Conditions.verdict
+    * (reference None=>False rule, weiser/checks/base.py:49-50).
+    */
+  def ruleVerdicts(rules: Seq[RowRule]): Seq[(String, Column)] =
+    rules.map(r => r.name ->
+      Conditions.verdict(measureColumn(r.measure), r.condition, r.threshold))
+
+  /** fail_reasons array in rule-declaration order (deterministic). */
+  def failReasons(verdicts: Seq[(String, Column)]): Column =
+    filter(
+      array(verdicts.map { case (n, v) => when(!v, lit(n)) }: _*),
+      x => x.isNotNull)
+
+  /** The one-pass pipeline: model scores (mapPartitions island) ->
+    * heuristic verdict columns -> keep/fail_reasons -> scrubbed text.
+    * Narrow dependencies only: NO shuffle from parquet scan to output.
+    * Column pruning matters at scale: `html` is never referenced, so the
+    * scan must not read it (asserted by PipelineSpec.explain test).
+    */
+  def run(pages: DataFrame, rules: Seq[RowRule] = defaultRules): DataFrame = {
+    val needsModels = rules.exists(r =>
+      r.measure == "ppl" || r.measure == "langid_score")
+    val scored =
+      if (needsModels) ModelScores.withScores(pages.drop("html"), "text")
+      else pages.drop("html")
+    val verdicts = ruleVerdicts(rules)
+    val keep = verdicts.map(_._2).reduce(_ && _)
+    scored
+      .withColumn("quality_score", Heuristics.qualityScore(col("text")))
+      .withColumn("keep", keep)
+      .withColumn("fail_reasons", failReasons(verdicts))
+      .withColumn("scrubbed_text", Scrub.scrub(col("text")))
+  }
+
+  /** Per-partition lineage metrics in the spirit of the reference's metric
+    * rows (weiser/checks/base.py:86-138): one row per (partition, rule)
+    * with fail counts, plus a `keep` summary row per partition. A single
+    * map-side-combinable aggregation — the shuffle moves only
+    * O(partitions × rules) rows regardless of corpus size.
+    */
+  def partitionMetrics(verdictDf: DataFrame, rules: Seq[RowRule],
+                       runId: String, runTime: java.sql.Timestamp): DataFrame = {
+    val perRule = rules.map(r =>
+      sum(when(array_contains(col("fail_reasons"), r.name), 1L).otherwise(0L))
+        .as(s"__f_${r.name}"))
+    val base = verdictDf
+      .withColumn("partition_id", spark_partition_id())
+      .groupBy(col("partition_id"))
+      .agg(count(lit(1)).as("doc_count"),
+        (sum(when(col("keep"), 1L).otherwise(0L)).as("pass_count") +: perRule): _*)
+    val stackExpr = rules
+      .map(r => s"'${r.name}', `__f_${r.name}`")
+      .mkString(s"stack(${rules.size}, ", ", ", ")")
+    base.select(col("partition_id"), col("doc_count"), col("pass_count"),
+        expr(stackExpr).as(Seq("name", "actual_value")))
+      .withColumn("fail_count", col("doc_count") - col("pass_count"))
+      .withColumn("success", col("actual_value") === 0)
+      .withColumn("fail", !col("success"))
+      .withColumn("run_id", lit(runId))
+      .withColumn("run_time", lit(runTime))
+      .withColumn("check_id",
+        sha2(concat(lit("pages"), col("name"), col("partition_id").cast(StringType)), 256))
+      .withColumn("id", sha2(concat(col("check_id"), col("run_id")), 256))
+      .select("id", "check_id", "name", "partition_id", "actual_value",
+        "doc_count", "pass_count", "fail_count", "success", "fail",
+        "run_id", "run_time")
+  }
+}

@@ -1,0 +1,92 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Anomaly detection over metric history: Median-Absolute-Deviation robust
+  * z-score, exact reference parity (weiser/checks/anomaly.py:55-96):
+  *
+  *   M = 0.6745 * (last - median) / MAD,  with
+  *   - truncate(MAD) == 0  => M = 0 (constant-series guard; Python int()
+  *     truncates toward zero, MAD >= 0, so floor is equivalent)
+  *   - fewer than 5 points => automatic fail, last value reported
+  *   - history = up to `limit` oldest rows ordered by run_time
+  *     (anomaly.py:127 LIMIT 10000 after ORDER BY run_time ASC)
+  *   - per-dimension mode splits by the FIRST dimension only (anomaly.py:29)
+  *
+  * The reference copies each window into pandas + an in-memory DuckDB; here
+  * it is one distributed aggregation: groupBy(dim).agg(median, last), then a
+  * second pass for MAD = median(|x - med|) — exact medians (Spark 4
+  * `median`), not percentile_approx, because DuckDB's mad() is exact-median
+  * based (SURVEY.md §7.4).
+  */
+object AnomalyJob {
+
+  /** Robust z-score per group. `history` must have columns
+    * (groupCol?, actual_value, run_time).
+    */
+  def madZScore(history: DataFrame, dim: Option[String]): DataFrame = {
+    val g = dim.map(d => Seq(col(d))).getOrElse(Nil)
+    def grouped(df: DataFrame, aggs: Seq[Column]): DataFrame =
+      if (g.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+      else df.groupBy(g: _*).agg(aggs.head, aggs.tail: _*)
+
+    val stats = grouped(history, Seq(
+      median(col("actual_value")).as("med"),
+      max_by(col("actual_value"), col("run_time")).as("last_value"),
+      count(lit(1)).as("n")))
+
+    val joined = dim match {
+      case Some(d) => history.join(broadcast(stats), Seq(d))
+      case None    => history.crossJoin(broadcast(stats))
+    }
+    val mads = (dim match {
+      case Some(d) => joined.groupBy(col(d))
+        .agg(median(abs(col("actual_value") - col("med"))).as("mad"))
+      case None => joined
+        .agg(median(abs(col("actual_value") - col("med"))).as("mad"))
+    })
+    val full = dim match {
+      case Some(d) => stats.join(mads, Seq(d))
+      case None    => stats.crossJoin(mads)
+    }
+    full.withColumn("z_score",
+      when(floor(col("mad")) === 0, lit(0.0))
+        .otherwise(lit(0.6745) * (col("last_value") - col("med")) / col("mad")))
+  }
+
+  /** Full anomaly check over a metrics table, reference lifecycle
+    * (anomaly.py:19-112): filter history by check_id prefix + optional
+    * filter, cap at `limit` oldest rows, z-score, verdict; <5 points per
+    * group => fail with the last value as actual_value.
+    */
+  def run(check: Check, metrics: DataFrame, limit: Int = 10000): DataFrame = {
+    val prefix = check.checkId.getOrElse(
+      throw new IllegalArgumentException("anomaly check requires check_id"))
+    val dim = check.dimensions.headOption
+    var h = metrics.filter(col("check_id").startsWith(prefix))
+    check.filter.foreach(f => h = h.filter(expr(f)))
+    // history cap: oldest `limit` rows by run_time (reference ORDER BY
+    // run_time ASC LIMIT 10000). row_number window only if over the cap.
+    val hCapped = {
+      import org.apache.spark.sql.expressions.Window
+      val w = dim.map(d => Window.partitionBy(col(d)))
+        .getOrElse(Window.partitionBy())
+        .orderBy(col("run_time").asc)
+      h.select(dim.map(col).toSeq :+ col("actual_value") :+ col("run_time"): _*)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= limit).drop("__rn")
+    }
+    val z = madZScore(hCapped, dim)
+    val verdict = Conditions.verdict(col("z_score"), check.condition, check.threshold)
+    z.withColumn("success", when(col("n") < 5, lit(false)).otherwise(verdict))
+      .withColumn("fail", !col("success"))
+      .withColumn("actual_value",
+        when(col("n") < 5, col("last_value")).otherwise(col("last_value")))
+      .withColumn("name", dim match {
+        case Some(d) => concat_ws("_", lit(check.name), lit(d), col(d).cast(StringType))
+        case None    => lit(check.name)
+      })
+  }
+}

@@ -1,0 +1,64 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The metrics ledger — Spark-native reimagining of the reference's metric
+  * store (weiser/drivers/metric_stores/duckdb.py). Production target is an
+  * Iceberg `metrics` table (append = snapshot commit, dedup = MERGE INTO on
+  * the deterministic `id`); the sandbox has no Iceberg jars, so the same
+  * semantics are implemented on a parquet directory:
+  *
+  *  - append-only writes partitioned by run_id (one directory per run ≈ one
+  *    snapshot; the reference exports one parquet per run_id too,
+  *    duckdb.py:554-607)
+  *  - idempotent resume: re-appending rows whose deterministic `id` already
+  *    exists is dropped via left-anti join — the watermark + INSERT OR
+  *    IGNORE semantics of the reference's S3 re-import (duckdb.py:174-268)
+  */
+class MetricsStore(val path: String) {
+
+  def exists(spark: SparkSession): Boolean =
+    new java.io.File(path).exists() &&
+      new java.io.File(path).listFiles() != null &&
+      new java.io.File(path).listFiles().nonEmpty
+
+  def read(spark: SparkSession): DataFrame = spark.read.parquet(path)
+
+  /** Plain append (new run_id — no dedup needed). */
+  def append(df: DataFrame): Unit =
+    df.write.mode(SaveMode.Append).partitionBy("run_id").parquet(path)
+
+  /** Idempotent append: drop rows whose id is already committed. The
+    * broadcast anti-join keeps this shuffle-free on the big side.
+    */
+  def appendResumable(spark: SparkSession, df: DataFrame): Long = {
+    val fresh =
+      if (!exists(spark)) df
+      else df.join(broadcast(read(spark).select("id")), Seq("id"), "left_anti")
+    val n = fresh.cache().count()
+    if (n > 0)
+      fresh.write.mode(SaveMode.Append).partitionBy("run_id").parquet(path)
+    fresh.unpersist()
+    n
+  }
+
+  /** Run summary — the reference's export aggregation
+    * (duckdb.py:497-528): total / success / fail counts for a run.
+    */
+  def summary(spark: SparkSession, runId: String): DataFrame =
+    read(spark).filter(col("run_id") === runId).agg(
+      count(lit(1)).as("total"),
+      sum(when(col("success"), 1L).otherwise(0L)).as("success_count"),
+      sum(when(!col("success"), 1L).otherwise(0L)).as("fail_count"))
+
+  /** Latest metric value per check — the dashboard's
+    * last_value OVER (PARTITION BY check_id) semantic layer measure
+    * (reference metricstore/model/Metrics.yaml:4-8), expressed as max_by
+    * (one aggregation, no window shuffle-sort).
+    */
+  def latestPerCheck(spark: SparkSession): DataFrame =
+    read(spark).groupBy(col("check_id")).agg(
+      max_by(col("actual_value"), col("run_time")).as("last_value"),
+      max(col("run_time")).as("last_run_time"))
+}

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Similarity}
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and then " +
+    "runs far away into the deep green forest to find some food for winter"
+  private lazy val docs = Seq(
+    (0L, base),
+    (1L, base),                                  // exact dup of 0
+    (2L, base.replace("winter", "summer")),      // near dup of 0
+    (3L, "completely different text about spark catalyst optimizer rules " +
+      "and whole stage code generation for columnar execution engines"),
+    (4L, "short doc"),
+    (5L, "")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup finds byte-identical groups, keeps lowest key") {
+    val r = Dedup.exact(docs, "text", "doc_id")
+      .select("doc_id", "is_dup").collect()
+      .map(x => x.getLong(0) -> x.getBoolean(1)).toMap
+    assert(r == Map(0L -> false, 1L -> true, 2L -> false, 3L -> false,
+      4L -> false, 5L -> false))
+  }
+
+  test("minhash LSH finds exact + near dup pairs, not distinct docs") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      jaccardThreshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("minhash estimate ~1.0 for identical docs") {
+    val est = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      jaccardThreshold = 0.5).filter(col("key_a") === 0 && col("key_b") === 1)
+      .head().getAs[Double]("est_jaccard")
+    assert(est == 1.0)
+  }
+
+  test("simhash: identical => distance 0; near dup small; distinct large") {
+    val sigs = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(0L) == sigs(1L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(0L), sigs(2L)) <= 8)
+    assert(ham(sigs(0L), sigs(3L)) > 8)
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 2L)))
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("ngram jaccard inverted-index pairs match brute-force jaccard") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.5).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Double]("jaccard"))).toMap
+    assert(pairs(((0L, 1L))) == 1.0)
+    assert(pairs.contains((0L, 2L)) && pairs((0L, 2L)) > 0.8)
+    assert(!pairs.keys.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("embedding near-dup pairs via LSH + cosine") {
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.2f)),
+      (1L, Seq(0.99f, 0.01f, 0.0f, 0.2f)),   // near dup of 0
+      (2L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Seq(0.0f, 0.0f, 1.0f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingPairs(vecs, "vec_id", "embedding", 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+}
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val vecs = (0 until 50).map { i =>
+    // deterministic unit-ish vectors on a ring
+    val a = i * 0.12
+    (i.toLong, Seq(math.cos(a).toFloat, math.sin(a).toFloat,
+      (i % 7) * 0.1f, 0.5f))
+  }.toDF("vec_id", "embedding")
+
+  test("brute-force top-k: query's own vector ranks first with score 1") {
+    val q = vecs.filter(col("vec_id") === 0).head().getSeq[Float](1)
+      .map(_.toDouble)
+    val top = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", q, 5)
+      .collect()
+    assert(top.head.getLong(0) == 0L)
+    assert(math.abs(top.head.getDouble(1) - 1.0) < 1e-9)
+    // scores non-increasing
+    val scores = top.map(_.getDouble(1)).toSeq
+    assert(scores == scores.sorted.reverse)
+  }
+
+  test("LSH top-k returns a subset of brute-force ranking incl. the query") {
+    val q = vecs.filter(col("vec_id") === 0).head().getSeq[Float](1)
+      .map(_.toDouble)
+    val lsh = Similarity.lshTopK(vecs, "vec_id", "embedding", q, 5, bits = 4)
+      .collect()
+    assert(lsh.nonEmpty)
+    assert(lsh.head.getLong(0) == 0L) // own bucket contains the query vector
+  }
+
+  test("LSH buckets are deterministic across evaluations") {
+    val b1 = vecs.select(Similarity.lshBucket(col("embedding"), 6)).collect()
+    val b2 = vecs.select(Similarity.lshBucket(col("embedding"), 6)).collect()
+    assert(b1.map(_.getLong(0)).toSeq == b2.map(_.getLong(0)).toSeq)
+  }
+}

@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{QualityFilter, Resume}
+import graft.sources.{MetricsStore, Pages}
+
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def mkPages(rows: Seq[(String, String, String)]) =
+    rows.map { case (url, text, lang) =>
+      (url, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        Option(text).map(t => s"<html>$t</html>".getBytes("UTF-8")).orNull,
+        text, lang)
+    }.toDF("url", "warc_ts", "html", "text", "lang")
+
+  private val goodText = ("The house is on the hill and the dog is in the " +
+    "garden with a cat. ") * 5 // long, stopword-rich, low symbols
+
+  test("verdicts on edge documents") {
+    val pages = mkPages(Seq(
+      ("u1", goodText, "en"),
+      ("u2", "", "en"),                       // empty => drop (length)
+      ("u3", null, "en"),                     // null  => drop
+      ("u4", "@#$% " * 40, "en"),             // symbol soup => drop
+      ("u5", ("spam " * 60).trim, "en")       // repetition => drop
+    ))
+    val v = QualityFilter.run(pages).collect()
+      .map(r => r.getAs[String]("url") ->
+        (r.getAs[Boolean]("keep"),
+          r.getAs[scala.collection.Seq[String]]("fail_reasons"))).toMap
+    assert(v("u1")._1, s"good doc must pass, got ${v("u1")._2}")
+    assert(!v("u2")._1 && v("u2")._2.contains("min_doc_length"))
+    assert(!v("u3")._1)
+    assert(!v("u4")._1 && v("u4")._2.contains("max_symbol_word_ratio"))
+    assert(!v("u5")._1 && v("u5")._2.contains("max_word_repetition"))
+  }
+
+  test("html column is pruned from the scan for rule-only queries " +
+    "(SURVEY §7.4 hard part 5)") {
+    val dir = java.nio.file.Files.createTempDirectory("pages").toString
+    mkPages(Seq(("u1", goodText, "en"))).write.mode("overwrite").parquet(dir)
+    val plan = QualityFilter.run(spark.read.parquet(dir))
+      .queryExecution.executedPlan.toString
+    val readSchema = "ReadSchema: [^\\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(!readSchema.contains("html"),
+      s"html must not be read by the scan: $readSchema")
+  }
+
+  test("deterministic under parallelism: repartition(2) == repartition(7)") {
+    val pages = Pages.load(spark, "/root/testdata/sf0.001")
+    def result(parts: Int) =
+      QualityFilter.run(pages.repartition(parts))
+        .select("url", "keep", "scrubbed_text", "lang_pred", "ppl")
+        .collect().map(_.toString).sorted.toSeq
+    assert(result(2) == result(7))
+  }
+
+  test("partition metrics: fail counts add up per rule") {
+    val pages = mkPages(Seq(
+      ("u1", goodText, "en"), ("u2", "", "en"), ("u3", "", "en")))
+      .repartition(1)
+    val v = QualityFilter.run(pages)
+    val m = QualityFilter.partitionMetrics(v, QualityFilter.defaultRules,
+      "r1", java.sql.Timestamp.valueOf("2024-06-01 00:00:00"))
+      .collect()
+    val byRule = m.groupBy(_.getAs[String]("name"))
+      .view.mapValues(_.map(_.getAs[Long]("actual_value")).sum).toMap
+    assert(byRule("min_doc_length") == 2)
+    assert(m.forall(_.getAs[Long]("doc_count") == 3))
+    assert(m.forall(r => r.getAs[Long]("pass_count") +
+      r.getAs[Long]("fail_count") == 3))
+  }
+
+  test("resume: injected kill, rerun skips committed buckets, no dup metrics") {
+    val tmp = java.nio.file.Files.createTempDirectory("resume").toString
+    val out = s"$tmp/verdicts"
+    val mdir = s"$tmp/metrics"
+    val pages = Pages.load(spark, "/root/testdata/sf0.001")
+    // first attempt dies after 3 bucket commits
+    assertThrows[RuntimeException] {
+      Resume.runBucketed(spark, pages, out, mdir, "runA", buckets = 8,
+        failAfter = 3)
+    }
+    // rerun completes, skipping the 3 committed buckets
+    val (ran, skipped) = Resume.runBucketed(spark, pages, out, mdir, "runA",
+      buckets = 8)
+    assert(skipped == 3 && ran == 5)
+    // verdict table identical to a direct single-pass run
+    val resumed = spark.read.parquet(out)
+      .select("url", "keep", "scrubbed_text").collect()
+      .map(_.toString).sorted.toSeq
+    val direct = QualityFilter.run(pages)
+      .select("url", "keep", "scrubbed_text").collect()
+      .map(_.toString).sorted.toSeq
+    assert(resumed == direct)
+    // metric ids unique (idempotent re-append)
+    val store = new MetricsStore(mdir)
+    val ids = store.read(spark).select("id").collect().map(_.getString(0))
+    assert(ids.length == ids.distinct.length)
+    // re-running everything again appends nothing new
+    val again = Resume.runBucketed(spark, pages, out, mdir, "runA", buckets = 8)
+    assert(again == ((0, 8)))
+  }
+
+  test("skewed hosts: two-stage salted aggregation equals direct groupBy") {
+    // 90% of rows on one host — the skew fixture
+    val pages = mkPages((0 until 200).map { i =>
+      val host = if (i < 180) "hot.example.com" else s"h$i.example.com"
+      (s"https://$host/p$i", goodText, "en")
+    })
+    val direct = pages
+      .groupBy(regexp_extract(col("url"), "https://([^/]+)/", 1).as("host"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // salted two-stage: partial agg on (host, salt), final on host
+    val salted = pages
+      .withColumn("host", regexp_extract(col("url"), "https://([^/]+)/", 1))
+      .withColumn("salt", pmod(xxhash64(col("url")), lit(16)))
+      .groupBy(col("host"), col("salt")).agg(count(lit(1)).as("pn"))
+      .groupBy(col("host")).agg(sum(col("pn")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == direct)
+    assert(direct("hot.example.com") == 180)
+  }
+
+  test("flagship entry returns rows with expected schema") {
+    val df = SparkEntry.entry(spark)
+    assert(df.count() > 0)
+    assert(df.columns.toSet.contains("keep"))
+    assert(df.columns.toSet.contains("scrubbed_text"))
+  }
+}

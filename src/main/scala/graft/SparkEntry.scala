@@ -19,6 +19,16 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Heavy per-row operators read the testdata single-file parquet as ONE
+    * input split — repartition so the compute spreads across all cores
+    * (row content and therefore oracle comparison are unaffected).
+    */
+  private def tp(s: SparkSession, dir: String, name: String): DataFrame =
+    t(s, dir, name).repartition(s.sparkContext.defaultParallelism)
+
+  private def pagesP(s: SparkSession, dir: String): DataFrame =
+    Pages.fromDocuments(tp(s, dir, "documents"))
+
   private val runId = "r1"
   private val runTime = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
 
@@ -228,7 +238,7 @@ object SparkEntry {
       EventStream.windowedAgg(t(s, dir, "events"))),
 
     // ---- text analysis over documents ----
-    "text_quality" -> ((s, dir) => t(s, dir, "documents").select(
+    "text_quality" -> ((s, dir) => tp(s, dir, "documents").select(
       col("doc_id"),
       Heuristics.docLength(col("text")).as("doc_length"),
       Heuristics.wordCount(col("text")).as("word_count"),
@@ -244,18 +254,18 @@ object SparkEntry {
     // langid + perplexity: model measures, not SQL-expressible (rows-only)
     "text_langid" -> ((s, dir) =>
       graft.functions.ModelScores.withScores(
-        t(s, dir, "documents").select(col("doc_id"), col("text")), "text")
+        tp(s, dir, "documents").select(col("doc_id"), col("text")), "text")
         .select(col("doc_id"), col("lang_pred"),
           round(col("langid_score"), 6).as("langid_score"),
           round(col("ppl"), 4).as("ppl"))),
 
     // ---- dedup family over documents ----
     "dedup_exact" -> ((s, dir) =>
-      Dedup.exact(t(s, dir, "documents"), "text", "doc_id")
+      Dedup.exact(tp(s, dir, "documents"), "text", "doc_id")
         .select(col("doc_id"), col("fingerprint"), col("is_dup"))),
 
     "dedup_jaccard_pairs" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = tp(s, dir, "documents")
         .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("shs"))
       val a = d.select(col("doc_id").as("key_a"), col("shs").as("sa"))
       val b = d.select(col("doc_id").as("key_b"), col("shs").as("sb"))
@@ -268,15 +278,15 @@ object SparkEntry {
     }),
 
     "dedup_minhash_lsh" -> ((s, dir) =>
-      Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+      Dedup.minhashLshPairs(tp(s, dir, "documents"), "doc_id", "text",
         jaccardThreshold = 0.5)),
 
     "dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+      Dedup.simhashPairs(tp(s, dir, "documents"), "doc_id", "text",
         maxHamming = 8)),
 
     "dedup_ngram_inverted" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+      Dedup.ngramJaccardPairs(tp(s, dir, "documents"), "doc_id", "text",
         n = 3, threshold = 0.5)),
 
     // ---- similarity search over embeddings ----
@@ -306,28 +316,28 @@ object SparkEntry {
     }),
 
     // ---- quality-filter pipeline over synthesized pages ----
-    "scrub_pii" -> ((s, dir) => Pages.load(s, dir)
+    "scrub_pii" -> ((s, dir) => pagesP(s, dir)
       .select(col("url"), Scrub.scrub(col("text")).as("scrubbed_text"))),
 
     "pipeline_verdict" -> ((s, dir) => {
-      val v = QualityFilter.run(Pages.load(s, dir), QualityFilter.heuristicRules)
+      val v = QualityFilter.run(pagesP(s, dir), QualityFilter.heuristicRules)
       v.select(col("url"), col("keep"), col("fail_reasons"),
         col("quality_score"))
     }),
 
     // full pipeline incl. model measures + per-partition lineage (rows-only)
     "pipeline_full" -> ((s, dir) => {
-      val v = QualityFilter.run(Pages.load(s, dir))
+      val v = QualityFilter.run(pagesP(s, dir))
       QualityFilter.partitionMetrics(v, QualityFilter.defaultRules,
         runId, runTime)
     }),
 
     // ---- multimodal binary-column handling ----
     "multimodal_meta" -> ((s, dir) =>
-      Multimodal.mediaMeta(Pages.load(s, dir), "url", "html")),
+      Multimodal.mediaMeta(pagesP(s, dir), "url", "html")),
 
     "multimodal_features" -> ((s, dir) =>
-      Multimodal.withMediaFeatures(Pages.load(s, dir)
+      Multimodal.withMediaFeatures(pagesP(s, dir)
         .select(col("url"), col("html")), "html")
         .select(col("url"), col("media_format"), col("media_bytes"),
           col("media_features")))

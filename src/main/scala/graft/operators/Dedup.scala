@@ -19,14 +19,36 @@ import org.apache.spark.sql.types._
   */
 object Dedup {
 
-  /** Word n-gram shingles as a distinct array column. */
+  /** Word n-gram shingles as a distinct array column. JVM sliding window —
+    * the pure-Catalyst formulation (transform over sequence + slice) copies
+    * the word array per shingle, O(words^2) per document; this is O(words).
+    * Semantics: fewer than n words collapse to one whole-text shingle,
+    * duplicates dropped (first occurrence kept).
+    */
   def shingles(text: Column, n: Int): Column = {
-    val ws = graft.functions.Heuristics.words(text)
-    val cnt = size(ws)
-    when(cnt < n, array(concat_ws(" ", ws)))
-      .otherwise(array_distinct(transform(
-        sequence(lit(0), cnt - lit(n)),
-        i => concat_ws(" ", slice(ws, i + 1, lit(n))))))
+    val udfFn = udf { ws: Seq[String] =>
+      if (ws.length < n) Seq(ws.mkString(" "))
+      else {
+        val seen = new java.util.LinkedHashSet[String]()
+        val arr = ws.toArray
+        val sb = new StringBuilder
+        var i = 0
+        while (i <= arr.length - n) {
+          sb.setLength(0)
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(arr(i + j))
+            j += 1
+          }
+          seen.add(sb.toString)
+          i += 1
+        }
+        import scala.jdk.CollectionConverters._
+        seen.asScala.toSeq
+      }
+    }
+    udfFn(graft.functions.Heuristics.words(text))
   }
 
   /** Exact dedup: fingerprint = md5(text). Emits the input plus

@@ -347,6 +347,10 @@ object SparkEntry {
 
   private val pagesCte = Pages.duckdbCte
 
+  /** DuckDB list literal of the (single-source-of-truth) stopword list. */
+  private val stopList =
+    Heuristics.stopwords.map(w => s"'$w'").mkString("[", ",", "]")
+
   private val docWords =
     """list_filter(string_split_regex(coalesce(text, ''), '\s+'),
       |            x -> length(x) > 0)""".stripMargin
@@ -551,36 +555,34 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "text_quality" ->
-      """WITH w AS (
-        |  SELECT doc_id, text,
-        |    list_filter(string_split_regex(coalesce(text, ''), '\s+'),
-        |                x -> length(x) > 0) AS words
-        |  FROM documents)
-        |SELECT doc_id,
-        |  length(text) AS doc_length,
-        |  len(words) AS word_count,
-        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS token_count,
-        |  round(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE /
-        |    greatest(len(words), 1)::DOUBLE, 6) AS symbol_word_ratio,
-        |  round(len(list_filter(words, x -> list_contains(
-        |    ['the','a','an','and','or','of','to','in','is','it','that','for',
-        |     'on','with','as','was','at','by','be','this'], lower(x))))::DOUBLE /
-        |    greatest(len(words), 1)::DOUBLE, 6) AS stopword_fraction,
-        |  round(CASE WHEN len(words) = 0 THEN 0.0
-        |    ELSE 1.0 - len(list_distinct(words))::DOUBLE / len(words)::DOUBLE END, 6)
-        |    AS word_repetition,
-        |  round(
-        |    least(length(text)::DOUBLE / 500.0, 1.0) * 0.3 +
-        |    least((len(list_filter(words, x -> list_contains(
-        |      ['the','a','an','and','or','of','to','in','is','it','that','for',
-        |       'on','with','as','was','at','by','be','this'], lower(x))))::DOUBLE /
-        |      greatest(len(words), 1)::DOUBLE) / 0.1, 1.0) * 0.3 +
-        |    greatest(1.0 - (length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE /
-        |      greatest(len(words), 1)::DOUBLE) * 2.0, 0.0) * 0.2 +
-        |    greatest(1.0 - (CASE WHEN len(words) = 0 THEN 0.0
-        |      ELSE 1.0 - len(list_distinct(words))::DOUBLE / len(words)::DOUBLE END),
-        |      0.0) * 0.2, 6) AS quality_score
-        |FROM w""".stripMargin,
+      s"""WITH w AS (
+         |  SELECT doc_id, text,
+         |    list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+         |                x -> length(x) > 0) AS words
+         |  FROM documents)
+         |SELECT doc_id,
+         |  length(text) AS doc_length,
+         |  len(words) AS word_count,
+         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS token_count,
+         |  round(length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g'))::DOUBLE /
+         |    greatest(len(words), 1)::DOUBLE, 6) AS symbol_word_ratio,
+         |  round(len(list_filter(words, x -> list_contains(
+         |    $stopList, lower(x))))::DOUBLE /
+         |    greatest(len(words), 1)::DOUBLE, 6) AS stopword_fraction,
+         |  round(CASE WHEN len(words) = 0 THEN 0.0
+         |    ELSE 1.0 - len(list_distinct(words))::DOUBLE / len(words)::DOUBLE END, 6)
+         |    AS word_repetition,
+         |  round(
+         |    least(length(text)::DOUBLE / 500.0, 1.0) * 0.3 +
+         |    least((len(list_filter(words, x -> list_contains(
+         |      $stopList, lower(x))))::DOUBLE /
+         |      greatest(len(words), 1)::DOUBLE) / 0.1, 1.0) * 0.3 +
+         |    greatest(1.0 - (length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g'))::DOUBLE /
+         |      greatest(len(words), 1)::DOUBLE) * 2.0, 0.0) * 0.2 +
+         |    greatest(1.0 - (CASE WHEN len(words) = 0 THEN 0.0
+         |      ELSE 1.0 - len(list_distinct(words))::DOUBLE / len(words)::DOUBLE END),
+         |      0.0) * 0.2, 6) AS quality_score
+         |FROM w""".stripMargin,
 
     "text_fingerprint" ->
       "SELECT doc_id, md5(coalesce(text, '')) AS fingerprint FROM documents",
@@ -643,25 +645,31 @@ object SparkEntry {
          |r AS (
          |  SELECT url, text, words,
          |    length(coalesce(text,'')) AS dl,
-         |    length(regexp_replace(coalesce(text,''), '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE /
+         |    length(regexp_replace(coalesce(text,''), '[\\p{L}\\p{N}\\s]', '', 'g'))::DOUBLE /
          |      greatest(len(words), 1)::DOUBLE AS swr,
          |    len(list_filter(words, x -> list_contains(
-         |      ['the','a','an','and','or','of','to','in','is','it','that','for',
-         |       'on','with','as','was','at','by','be','this'], lower(x))))::DOUBLE /
+         |      $stopList, lower(x))))::DOUBLE /
          |      greatest(len(words), 1)::DOUBLE AS stop,
          |    CASE WHEN len(words) = 0 THEN 0.0
          |         ELSE 1.0 - len(list_distinct(words))::DOUBLE / len(words)::DOUBLE
          |    END AS rep,
+         |    CASE WHEN len(words) < 2 THEN 0.0
+         |         ELSE (len(words) - 1 - len(list_distinct(
+         |           list_transform(range(1, len(words)),
+         |             i -> words[i] || ' ' || words[i+1]))))::DOUBLE /
+         |           (len(words) - 1)::DOUBLE
+         |    END AS b2,
          |    0.0 AS dup
          |  FROM m)
          |SELECT url,
-         |  (dl >= 100) AND (swr <= 0.1) AND (stop >= 0.01) AND (rep <= 0.9)
-         |    AND (dup <= 0.3) AS keep,
+         |  (dl >= 100) AND (swr <= 0.1) AND (stop >= 0.01) AND (rep <= 0.95)
+         |    AND (b2 <= 0.5) AND (dup <= 0.3) AS keep,
          |  list_filter([
          |    CASE WHEN NOT (dl >= 100) THEN 'min_doc_length' END,
          |    CASE WHEN NOT (swr <= 0.1) THEN 'max_symbol_word_ratio' END,
          |    CASE WHEN NOT (stop >= 0.01) THEN 'min_stopword_fraction' END,
-         |    CASE WHEN NOT (rep <= 0.9) THEN 'max_word_repetition' END,
+         |    CASE WHEN NOT (rep <= 0.95) THEN 'max_word_repetition' END,
+         |    CASE WHEN NOT (b2 <= 0.5) THEN 'max_dup_2gram' END,
          |    CASE WHEN NOT (dup <= 0.3) THEN 'max_dup_line_fraction' END],
          |    x -> x IS NOT NULL) AS fail_reasons,
          |  round(

@@ -15,12 +15,28 @@ import org.apache.spark.sql.types.DoubleType
   */
 object Heuristics {
 
-  /** Stopword list used by stopwordFraction; tiny by design (the measure is
-    * a coverage heuristic, not NLP). Frozen: changing it changes verdicts.
+  /** Stopword list used by stopwordFraction: the ~20 most common function
+    * words per supported language (multilingual coverage — an English-only
+    * list turns the quality filter into a language filter). Frozen:
+    * changing it changes verdicts and the committed golden labels.
     */
   val stopwords: Seq[String] = Seq(
+    // en
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
-    "that", "for", "on", "with", "as", "was", "at", "by", "be", "this")
+    "that", "for", "on", "with", "as", "was", "at", "by", "be", "this",
+    // es
+    "de", "la", "que", "el", "en", "y", "los", "del", "se", "las",
+    "por", "un", "para", "con", "no", "una", "su", "al", "lo", "como",
+    // fr
+    "le", "les", "des", "est", "pour", "qui", "dans", "plus", "pas", "au",
+    "sur", "ne", "ce", "il", "sont", "aux", "avec", "son", "ont", "cette",
+    // de
+    "der", "die", "und", "den", "von", "zu", "das", "mit", "sich", "auf",
+    "für", "ist", "im", "dem", "nicht", "ein", "eine", "als", "auch", "es",
+    // zh (function characters)
+    "的", "一", "是", "在", "不", "了", "有", "和", "人", "这",
+    "中", "大", "为", "上", "个", "我", "以", "要", "他", "们"
+  ).distinct
 
   def docLength(text: Column): Column = length(coalesce(text, lit("")))
 
@@ -41,12 +57,37 @@ object Heuristics {
     size(regexp_extract_all(coalesce(text, lit("")),
       lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
 
-  /** Symbol characters (not alphanumeric, not whitespace) per word. */
+  /** Symbol characters per word. "Symbol" = not a Unicode letter, digit or
+    * whitespace (`\p{L}\p{N}` — an ASCII-only class would count every
+    * accented or CJK character as a symbol and silently turn the quality
+    * filter into a Latin-script filter).
+    */
   def symbolWordRatio(text: Column): Column = {
     val symbols = length(regexp_replace(coalesce(text, lit("")),
-      "[A-Za-z0-9\\s]", ""))
+      "[\\p{L}\\p{N}\\s]", ""))
     symbols.cast(DoubleType) / greatest(wordCount(text), lit(1)).cast(DoubleType)
   }
+
+  /** Fraction of duplicated word 2-grams (Gopher-style repetition signal):
+    * robust across scripts — keyword stuffing scores ~1.0, clean prose in
+    * any language scores low even with a small vocabulary. JVM loop (the
+    * Catalyst slice formulation is O(words^2), cf. Dedup.shingles).
+    */
+  val dup2gramUdf = org.apache.spark.sql.functions.udf { ws: Seq[String] =>
+    if (ws.length < 2) 0.0
+    else {
+      val seen = new java.util.HashSet[String]()
+      var dups = 0
+      var i = 0
+      while (i < ws.length - 1) {
+        if (!seen.add(ws(i) + " " + ws(i + 1))) dups += 1
+        i += 1
+      }
+      dups.toDouble / (ws.length - 1)
+    }
+  }
+
+  def dup2gramFraction(text: Column): Column = dup2gramUdf(words(text))
 
   /** Fraction of words that are stopwords — low coverage flags non-prose. */
   def stopwordFraction(text: Column): Column = {

@@ -14,7 +14,7 @@ object LangId extends Serializable {
   val langs: Array[String] = Array("en", "es", "fr", "de", "zh")
 
   /** Frozen seed corpora: the most common function words per language. */
-  private[functions] val seeds: Map[String, String] = Map(
+  private[graft] val seeds: Map[String, String] = Map(
     "en" -> ("the be to of and a in that have it for not on with he as you " +
       "do at this but his by from they we say her she or an will my one all " +
       "would there their what so up out if about who get which go me when " +
@@ -69,11 +69,20 @@ object LangId extends Serializable {
     val v = new Array[Float](dim)
     if (text == null || text.isEmpty) return v
     val t = " " + text.toLowerCase + " "
+    // whitespace-only grams are skipped: the bare space gram is the single
+    // most common feature of EVERY space-delimited language, so it swamps
+    // the cosine with language-free mass (and biases unsegmented scripts
+    // against segmented ones)
+    @inline def allSpace(from: Int, until: Int): Boolean = {
+      var k = from
+      while (k < until) { if (t.charAt(k) != ' ') return false; k += 1 }
+      true
+    }
     var i = 0
     while (i < t.length - 1) {
-      v(fnv1a(t, i, i + 1)) += 1f
-      v(fnv1a(t, i, i + 2)) += 1f
-      if (i < t.length - 2) v(fnv1a(t, i, i + 3)) += 1f
+      if (!allSpace(i, i + 1)) v(fnv1a(t, i, i + 1)) += 1f
+      if (!allSpace(i, i + 2)) v(fnv1a(t, i, i + 2)) += 1f
+      if (i < t.length - 2 && !allSpace(i, i + 3)) v(fnv1a(t, i, i + 3)) += 1f
       i += 1
     }
     var norm = 0.0

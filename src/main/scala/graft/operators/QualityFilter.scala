@@ -34,6 +34,7 @@ object QualityFilter {
     case "symbol_word_ratio"     => Heuristics.symbolWordRatio(col("text"))
     case "stopword_fraction"     => Heuristics.stopwordFraction(col("text"))
     case "word_repetition_ratio" => Heuristics.wordRepetitionRatio(col("text"))
+    case "dup_2gram_fraction"    => Heuristics.dup2gramFraction(col("text"))
     case "dup_line_fraction"     => Heuristics.dupLineFraction(col("text"))
     case "mean_word_length"      => Heuristics.meanWordLength(col("text"))
     case "upper_fraction"        => Heuristics.upperFraction(col("text"))
@@ -49,7 +50,8 @@ object QualityFilter {
     RowRule("min_doc_length", "doc_length", Condition.Ge, Left(100)),
     RowRule("max_symbol_word_ratio", "symbol_word_ratio", Condition.Le, Left(0.1)),
     RowRule("min_stopword_fraction", "stopword_fraction", Condition.Ge, Left(0.01)),
-    RowRule("max_word_repetition", "word_repetition_ratio", Condition.Le, Left(0.9)),
+    RowRule("max_word_repetition", "word_repetition_ratio", Condition.Le, Left(0.95)),
+    RowRule("max_dup_2gram", "dup_2gram_fraction", Condition.Le, Left(0.5)),
     RowRule("max_dup_line_fraction", "dup_line_fraction", Condition.Le, Left(0.3)),
     RowRule("perplexity_band", "ppl", Condition.Between, Right((2.0, 200.0))),
     RowRule("min_langid_score", "langid_score", Condition.Ge, Left(0.15))

@@ -1,0 +1,89 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.MetricsStore
+
+/** Run orchestration — the `weiser run` lifecycle
+  * (reference weiser/runner/__init__.py:15-151) re-expressed on Spark:
+  *
+  *   load config -> validate -> probe datasources -> run every check ->
+  *   append metric rows to the metrics store -> summary.
+  *
+  * Two deliberate divergences, both scale-driven (SURVEY.md §3.1):
+  *  - the reference loops checks SEQUENTIALLY with one synchronous warehouse
+  *    round-trip each (runner:40-48); here each check is a lazy plan and all
+  *    metric rows are computed and appended as ONE Spark job (union of
+  *    per-check aggregates — shared scans, parallel stages);
+  *  - anomaly checks run against the metrics store AFTER the append, exactly
+  *    like the reference (anomaly.py:16-17 queries the metric store).
+  */
+object Runner {
+
+  final case class RunResult(runId: String, total: Long, successes: Long,
+                             failures: Long)
+
+  /** `weiser compile` analog: validate + plan every check, execute nothing.
+    * Returns analyzed plan strings (throws on unknown columns/types).
+    */
+  def compile(cfg: BaseConfig, spark: SparkSession,
+              tables: Map[String, DataFrame]): Seq[String] =
+    CheckCompiler.compileOnly(
+      cfg.checks.filter(_.checkType != CheckType.Anomaly), spark,
+      tables.map { case (n, df) => n -> df.schema })
+
+  /** Connection probe — the reference's `SELECT 1` per datasource
+    * (runner:145-150).
+    */
+  def probe(tables: Map[String, DataFrame]): Unit =
+    tables.foreach { case (n, df) =>
+      require(df.schema.nonEmpty, s"datasource table $n has no schema") }
+
+  def run(cfg: BaseConfig, spark: SparkSession,
+          tables: Map[String, DataFrame], store: MetricsStore,
+          runId: String, runTime: java.sql.Timestamp,
+          datasource: String = "default"): RunResult = {
+    probe(tables)
+    val (anomalyChecks, planChecks) =
+      cfg.checks.partition(_.checkType == CheckType.Anomaly)
+
+    // one union-of-aggregates job for every non-anomaly check
+    planChecks.map(c => CheckCompiler.run(c, spark, tables, datasource,
+        runId, runTime))
+      .reduceOption(_ unionByName _)
+      .foreach(rows => store.appendResumable(spark, rows))
+
+    // anomaly checks read the (now updated) metrics history
+    anomalyChecks.foreach { c =>
+      val metrics = store.read(spark)
+      val z = AnomalyJob.run(c, metrics)
+      val rows = z.select(
+        lit(c.name).as("name"),
+        col("success"), !col("success").as("fail"),
+        col("actual_value"))
+        .withColumn("check_id", sha2(concat(lit(datasource), col("name"),
+          lit(c.dataset.head)), 256))
+        .withColumn("id", sha2(concat(col("check_id"), lit(runId)), 256))
+        .withColumn("type", lit(c.checkType.name))
+        .withColumn("condition", lit(c.condition.name))
+        .withColumn("threshold", lit(null).cast("double"))
+        .withColumn("threshold_list", c.threshold match {
+          case Right((lo, hi)) => array(lit(lo), lit(hi))
+          case Left(t)         => array(lit(t))
+        })
+        .withColumn("dataset", lit(c.dataset.head))
+        .withColumn("datasource", lit(datasource))
+        .withColumn("run_id", lit(runId))
+        .withColumn("run_time", lit(runTime))
+        .select("id", "check_id", "name", "type", "condition", "threshold",
+          "threshold_list", "dataset", "datasource", "actual_value",
+          "success", "fail", "run_id", "run_time")
+      store.appendResumable(spark, rows)
+    }
+
+    val s = store.summary(spark, runId).head()
+    RunResult(runId, s.getAs[Long]("total"), s.getAs[Long]("success_count"),
+      s.getAs[Long]("fail_count"))
+  }
+}

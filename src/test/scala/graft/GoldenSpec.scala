@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The BASELINE.md headline gate: keep/drop F1 >= 0.99 vs the committed
+  * reference labels (src/test/resources/golden_verdicts.csv) and
+  * byte-identical scrubbed text per url (compared via md5), on the
+  * deterministic fixture corpus. Regenerate labels only deliberately, via
+  * `sbt "Test/runMain graft.GoldenWriter"`, and review the diff.
+  */
+class GoldenSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private lazy val golden: Map[String, (Boolean, String, String, String, Double)] = {
+    val src = scala.io.Source.fromFile("src/test/resources/golden_verdicts.csv")
+    try {
+      val lines = src.getLines().toList
+      lines.tail.map { l =>
+        val c = l.split(",", -1)
+        c(0) -> ((c(1).toBoolean, c(2), c(3), c(4), c(5).toDouble))
+      }.toMap
+    } finally src.close()
+  }
+
+  private lazy val computed = graft.operators.QualityFilter.run(
+    graft.sources.GoldenCorpus.generate(spark).repartition(7))
+    .select(col("url"), col("keep"),
+      concat_ws("|", col("fail_reasons")).as("fr"),
+      md5(col("scrubbed_text")).as("smd5"),
+      col("lang_pred"), round(col("ppl"), 4).as("ppl"))
+    .collect()
+    .map(r => r.getString(0) -> ((r.getBoolean(1), r.getString(2),
+      r.getString(3), r.getString(4), r.getDouble(5)))).toMap
+
+  test("keep/drop F1 >= 0.99 vs committed reference labels") {
+    assert(computed.keySet == golden.keySet)
+    var tp = 0; var fp = 0; var fn = 0
+    golden.foreach { case (url, (gKeep, _, _, _, _)) =>
+      val cKeep = computed(url)._1
+      if (cKeep && gKeep) tp += 1
+      else if (cKeep && !gKeep) fp += 1
+      else if (!cKeep && gKeep) fn += 1
+    }
+    val precision = tp.toDouble / math.max(tp + fp, 1)
+    val recall = tp.toDouble / math.max(tp + fn, 1)
+    val f1 = 2 * precision * recall / math.max(precision + recall, 1e-9)
+    info(f"F1 = $f1%.4f (tp=$tp fp=$fp fn=$fn)")
+    assert(f1 >= 0.99, f"F1 $f1%.4f below 0.99")
+  }
+
+  test("scrubbed text is byte-identical per url (md5)") {
+    val bad = golden.collect {
+      case (url, (_, _, gMd5, _, _)) if computed(url)._3 != gMd5 => url
+    }
+    assert(bad.isEmpty, s"scrub mismatch for ${bad.take(5)}")
+  }
+
+  test("fail_reasons and language predictions match the labels exactly") {
+    val frBad = golden.collect {
+      case (url, (_, gFr, _, _, _)) if computed(url)._2 != gFr => url }
+    assert(frBad.isEmpty, s"fail_reasons mismatch for ${frBad.take(5)}")
+    val lpBad = golden.collect {
+      case (url, (_, _, _, gLp, _)) if computed(url)._4 != gLp => url }
+    assert(lpBad.isEmpty, s"lang_pred mismatch for ${lpBad.take(5)}")
+  }
+
+  test("perplexity scores reproduce to 4 decimals") {
+    val bad = golden.collect {
+      case (url, (_, _, _, _, gPpl))
+        if math.abs(computed(url)._5 - gPpl) > 1e-9 => url }
+    assert(bad.isEmpty, s"ppl mismatch for ${bad.take(5)}")
+  }
+
+  test("langid accuracy on clean-prose fixture classes is 100%") {
+    val v = graft.operators.QualityFilter.run(
+      graft.sources.GoldenCorpus.generate(spark))
+      .select(col("url"), col("lang"), col("lang_pred")).collect()
+    val prose = v.filter(r =>
+      r.getString(0).split("/").last.toInt % 12 <= 5)
+    val acc = prose.count(r => r.getString(1) == r.getString(2)).toDouble /
+      prose.length
+    assert(acc == 1.0, f"clean-prose langid accuracy $acc%.3f")
+  }
+}

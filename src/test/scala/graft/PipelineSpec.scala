@@ -17,8 +17,12 @@ class PipelineSpec extends AnyFunSuite {
         text, lang)
     }.toDF("url", "warc_ts", "html", "text", "lang")
 
-  private val goodText = ("The house is on the hill and the dog is in the " +
-    "garden with a cat. ") * 5 // long, stopword-rich, low symbols
+  private val goodText = // long, varied, stopword-rich, low symbols
+    "The house is on the hill and the dog is in the garden with a cat. " +
+    "It was a bright cold day in April and the clocks were striking. " +
+    "This is the story of a small town by the sea where people work. " +
+    "Over the years many of them came to the market for fresh bread. " +
+    "At the end of the road there is an old mill that still turns."
 
   test("verdicts on edge documents") {
     val pages = mkPages(Seq(

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans._
+import graft.sources.{MetricsStore, SampleGenerator}
+
+/** End-to-end run lifecycle: config -> run -> metrics store -> summary ->
+  * anomaly over accumulated history (reference weiser/runner/__init__.py).
+  */
+class RunnerSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val yaml =
+    """version: 1
+      |checks:
+      |  - name: sales count
+      |    dataset: sales
+      |    type: row_count
+      |    condition: gt
+      |    threshold: 2
+      |  - name: amount sum by grp
+      |    dataset: sales
+      |    type: sum
+      |    measure: amount
+      |    condition: between
+      |    threshold: [10, 1000]
+      |    dimensions: [grp]
+      |""".stripMargin
+
+  private lazy val sales = Seq(
+    ("a", 10.0), ("a", 20.0), ("b", 30.0), ("b", 5000.0)
+  ).toDF("grp", "amount")
+
+  test("run executes all checks, persists metric rows, summarizes") {
+    val tmp = java.nio.file.Files.createTempDirectory("runner").toString
+    val cfg = ConfigLoader.parseYaml(yaml)
+    val store = new MetricsStore(s"$tmp/metrics")
+    val res = Runner.run(cfg, spark, Map("sales" -> sales), store, "runX",
+      java.sql.Timestamp.valueOf("2024-06-01 00:00:00"))
+    // 1 global row + 2 grouped rows
+    assert(res.total == 3)
+    assert(res.successes == 2) // rc passes, sum_a=30 in band, sum_b=5030 out
+    assert(res.failures == 1)
+    val names = store.read(spark).select("name").collect()
+      .map(_.getString(0)).sorted
+    assert(names.toSeq == Seq("amount sum by grp_grp_a",
+      "amount sum by grp_grp_b", "sales count"))
+    // re-running the same runId appends nothing (idempotent resume)
+    val res2 = Runner.run(cfg, spark, Map("sales" -> sales), store, "runX",
+      java.sql.Timestamp.valueOf("2024-06-01 00:00:00"))
+    assert(res2.total == 3)
+    assert(store.read(spark).count() == 3)
+  }
+
+  test("compile mode validates plans without executing") {
+    val cfg = ConfigLoader.parseYaml(yaml)
+    val plans = Runner.compile(cfg, spark, Map("sales" -> sales))
+    assert(plans.length == 2)
+    assertThrows[Exception] {
+      Runner.compile(ConfigLoader.parseYaml(
+        "checks:\n  - {name: bad, dataset: sales, type: sum, measure: nope}"),
+        spark, Map("sales" -> sales))
+    }
+  }
+
+  test("sample history is deterministic and feeds the anomaly check") {
+    val h1 = SampleGenerator.history(spark, "chk", 100.0).collect()
+    val h2 = SampleGenerator.history(spark, "chk", 100.0).collect()
+    assert(h1.map(_.toString).toSeq == h2.map(_.toString).toSeq)
+    assert(h1.length == 31)
+    val vals = h1.map(_.getAs[Double]("actual_value"))
+    assert(vals.forall(v => v >= 50.0 && v <= 150.0))
+    // stable series stays in band; spiked series trips the z-score
+    val cBase = Check("an", Seq("metrics"), CheckType.Anomaly,
+      condition = Condition.Between, threshold = Right((-3.5, 3.5)),
+      checkId = Some("chk"))
+    val ok = AnomalyJob.run(cBase,
+      SampleGenerator.history(spark, "chk", 100.0)).head()
+    assert(ok.getAs[Boolean]("success"))
+    val spiked = AnomalyJob.run(cBase,
+      SampleGenerator.historyWithSpike(spark, "chk", 100.0)).head()
+    assert(!spiked.getAs[Boolean]("success"))
+    assert(math.abs(spiked.getAs[Double]("z_score")) > 3.5)
+  }
+
+  test("latest-per-check semantic measure (metrics store)") {
+    val tmp = java.nio.file.Files.createTempDirectory("latest").toString
+    val store = new MetricsStore(s"$tmp/m")
+    val rows = Seq(
+      ("id1", "c1", 1.0, "2024-01-01 00:00:00", "r1"),
+      ("id2", "c1", 9.0, "2024-01-02 00:00:00", "r2"),
+      ("id3", "c2", 5.0, "2024-01-01 00:00:00", "r1")
+    ).toDF("id", "check_id", "actual_value", "rt", "run_id")
+      .withColumn("run_time", col("rt").cast("timestamp")).drop("rt")
+      .withColumn("success", lit(true))
+    store.append(rows)
+    val latest = store.latestPerCheck(spark).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(latest == Map("c1" -> 9.0, "c2" -> 5.0))
+  }
+}

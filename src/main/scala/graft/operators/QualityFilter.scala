@@ -20,6 +20,17 @@ final case class RowRule(
     condition: Condition,
     threshold: Either[Double, (Double, Double)])
 
+object RowRule {
+  /** A per-row rule from a YAML Check (the weiser config shape): the
+    * check's `measure` resolves through the per-row measure registry.
+    * Lets the whole quality filter be declared as a checks: block.
+    */
+  def fromCheck(c: graft.plans.Check): RowRule = {
+    require(c.measure.nonEmpty, s"row rule ${c.name} requires a measure")
+    RowRule(c.name, c.measure.get, c.condition, c.threshold)
+  }
+}
+
 object QualityFilter {
 
   /** Named per-row measure registry (the MEASURE() analog,

@@ -56,6 +56,34 @@ object AnomalyJob {
         .otherwise(lit(0.6745) * (col("last_value") - col("med")) / col("mad")))
   }
 
+  /** Same statistics in ONE shuffle via the typed MadAggregate (the
+    * two-pass variant above shuffles the history twice: once for the
+    * median, once for MAD). Output schema matches madZScore.
+    */
+  def madZScoreSinglePass(history: DataFrame, dim: Option[String]): DataFrame = {
+    val spark = history.sparkSession
+    import spark.implicits._
+    val keyed = history.select(
+      dim.map(d => col(d).cast("string")).getOrElse(lit("__all__")).as("__k"),
+      col("actual_value"), unix_micros(col("run_time")).as("__ts"))
+      .as[(String, Double, Long)]
+    val stats = keyed.groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(MadAggregate.column)
+      .toDF("__k", "s")
+      .select(col("__k"), col("s.median").as("med"), col("s.mad").as("mad"),
+        col("s.last").as("last_value"), col("s.n").as("n"))
+    val withDim = dim match {
+      case Some(d) => stats.withColumnRenamed("__k", d)
+      case None    => stats.drop("__k")
+    }
+    withDim.withColumn("z_score",
+      when(floor(col("mad")) === 0, lit(0.0))
+        .otherwise(lit(0.6745) * (col("last_value") - col("med")) / col("mad")))
+      .select((dim.toSeq.map(col) ++ Seq(col("med"), col("last_value"),
+        col("n"), col("mad"), col("z_score"))): _*)
+  }
+
   /** Full anomaly check over a metrics table, reference lifecycle
     * (anomaly.py:19-112): filter history by check_id prefix + optional
     * filter, cap at `limit` oldest rows, z-score, verdict; <5 points per

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans._
+
+/** Plan-shape assertions (SURVEY.md §5.2 item 2): the declarative check
+  * compiler must hand Catalyst plans it can optimize — filters pushed into
+  * the parquet scan, scans pruned to referenced columns, small dimension
+  * joins broadcast, single-shuffle aggregates.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val dir = "/root/testdata/sf0.001"
+  private val runTime = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("check filter is pushed down to the parquet scan") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val c = Check("rc", Seq("lineitem"), CheckType.RowCount,
+      condition = Condition.Gt, threshold = Left(0),
+      filter = Some("l_returnflag = 'R'"))
+    val plan = planOf(CheckCompiler.run(c, spark, Map("lineitem" -> li),
+      "ds", "r", runTime))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)]"),
+      s"filter not pushed:\n${plan.take(2000)}")
+  }
+
+  test("check scan is pruned to the referenced columns only") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val c = Check("s", Seq("lineitem"), CheckType.Sum,
+      measure = Some("l_quantity"), condition = Condition.Gt,
+      threshold = Left(0), dimensions = Seq("l_returnflag"))
+    val plan = planOf(CheckCompiler.run(c, spark, Map("lineitem" -> li),
+      "ds", "r", runTime))
+    val readSchema = "ReadSchema: [^\\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(readSchema.contains("l_quantity") && readSchema.contains("l_returnflag"))
+    assert(!readSchema.contains("l_extendedprice"),
+      s"scan reads unreferenced columns: $readSchema")
+  }
+
+  test("small dimension joins are broadcast, not shuffled") {
+    val plan = planOf(SparkEntry.queries("q_join_broadcast_dims")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    assert(!plan.contains("SortMergeJoin"), "dim join fell back to SMJ")
+  }
+
+  test("grouped check is a single-shuffle partial aggregate") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val c = Check("s", Seq("lineitem"), CheckType.Sum,
+      measure = Some("l_quantity"), condition = Condition.Gt,
+      threshold = Left(0), dimensions = Seq("l_returnflag"))
+    val plan = planOf(CheckCompiler.run(c, spark, Map("lineitem" -> li),
+      "ds", "r", runTime))
+    // exactly one exchange: partial agg -> shuffle -> final agg
+    assert("Exchange".r.findAllIn(plan).length == 1,
+      s"expected 1 shuffle:\n${plan.take(2000)}")
+  }
+
+  test("not_empty over N dimensions compiles to ONE scan (vs reference's " +
+    "one query per dimension)") {
+    val li = spark.read.parquet(s"$dir/orders.parquet")
+    val c = Check("ne", Seq("orders"), CheckType.NotEmpty,
+      condition = Condition.Le, threshold = Left(0),
+      dimensions = Seq("o_orderstatus", "o_orderpriority", "o_custkey"))
+    val plan = planOf(CheckCompiler.run(c, spark, Map("orders" -> li),
+      "ds", "r", runTime))
+    assert("FileScan".r.findAllIn(plan).length == 1,
+      s"expected a single scan:\n${plan.take(2000)}")
+  }
+
+  test("quality filter is shuffle-free from scan to verdict") {
+    val pages = graft.sources.Pages.load(spark, dir)
+    val plan = planOf(graft.operators.QualityFilter.run(pages))
+    assert(!plan.contains("Exchange"),
+      s"pipeline introduced a shuffle:\n${plan.take(2000)}")
+  }
+
+  test("single-pass MAD aggregate matches the two-pass formulation") {
+    import spark.implicits._
+    val h = (1 to 9).map(i => ("en", i.toDouble,
+      java.sql.Timestamp.valueOf(f"2024-01-0$i 00:00:00"))).toDF(
+      "dim", "actual_value", "run_time")
+      .unionByName(Seq(("fr", 5.0,
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))).toDF(
+        "dim", "actual_value", "run_time"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("dim"), round(col("med"), 9), round(col("mad"), 9),
+        col("last_value"), col("n").cast("long"), round(col("z_score"), 9))
+        .collect().map(_.toString).sorted.toSeq
+    val two = canon(AnomalyJob.madZScore(h, Some("dim")))
+    val one = canon(AnomalyJob.madZScoreSinglePass(h, Some("dim")))
+    assert(one == two)
+    // and one Exchange instead of two for the single-pass plan
+    val p1 = planOf(AnomalyJob.madZScoreSinglePass(h, Some("dim")))
+    val p2 = planOf(AnomalyJob.madZScore(h, Some("dim")))
+    assert("Exchange".r.findAllIn(p1).length <
+      "Exchange".r.findAllIn(p2).length)
+  }
+}

@@ -333,6 +333,20 @@ object SparkEntry {
     }),
 
     // ---- multimodal binary-column handling ----
+    // salted per-host keep/drop stats (north rule: skewed hosts)
+    "pipeline_host_stats" -> ((s, dir) =>
+      QualityFilter.hostStats(
+        QualityFilter.run(pagesP(s, dir), QualityFilter.heuristicRules))),
+
+    // IVF-bucketed ANN (rows-only: centroid sample not SQL-expressible)
+    "ann_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+      Similarity.ivfTopK(e, "vec_id", "embedding", q, 10, k = 8, probes = 3)
+        .select(col("vec_id"), round(col("score"), 6).as("score"))
+    }),
+
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.mediaMeta(pagesP(s, dir), "url", "html")),
 
@@ -364,6 +378,50 @@ object SparkEntry {
        |            ($docWords)[i+1] || ' ' ||
        |            ($docWords)[i+2]))
        |END""".stripMargin
+
+  private val pipelineVerdictSql: String =
+    s"""WITH $pagesCte,
+           |m AS (
+           |  SELECT url, text,
+           |    list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+           |                x -> length(x) > 0) AS words
+           |  FROM pages),
+           |r AS (
+           |  SELECT url, text, words,
+           |    length(coalesce(text,'')) AS dl,
+           |    length(regexp_replace(coalesce(text,''), '[\\p{L}\\p{N}\\s]', '', 'g'))::DOUBLE /
+           |      greatest(len(words), 1)::DOUBLE AS swr,
+           |    len(list_filter(words, x -> list_contains(
+           |      $stopList, lower(x))))::DOUBLE /
+           |      greatest(len(words), 1)::DOUBLE AS stop,
+           |    CASE WHEN len(words) = 0 THEN 0.0
+           |         ELSE 1.0 - len(list_distinct(words))::DOUBLE / len(words)::DOUBLE
+           |    END AS rep,
+           |    CASE WHEN len(words) < 2 THEN 0.0
+           |         ELSE (len(words) - 1 - len(list_distinct(
+           |           list_transform(range(1, len(words)),
+           |             i -> words[i] || ' ' || words[i+1]))))::DOUBLE /
+           |           (len(words) - 1)::DOUBLE
+           |    END AS b2,
+           |    0.0 AS dup
+           |  FROM m)
+           |SELECT url,
+           |  (dl >= 100) AND (swr <= 0.1) AND (stop >= 0.01) AND (rep <= 0.95)
+           |    AND (b2 <= 0.5) AND (dup <= 0.3) AS keep,
+           |  list_filter([
+           |    CASE WHEN NOT (dl >= 100) THEN 'min_doc_length' END,
+           |    CASE WHEN NOT (swr <= 0.1) THEN 'max_symbol_word_ratio' END,
+           |    CASE WHEN NOT (stop >= 0.01) THEN 'min_stopword_fraction' END,
+           |    CASE WHEN NOT (rep <= 0.95) THEN 'max_word_repetition' END,
+           |    CASE WHEN NOT (b2 <= 0.5) THEN 'max_dup_2gram' END,
+           |    CASE WHEN NOT (dup <= 0.3) THEN 'max_dup_line_fraction' END],
+           |    x -> x IS NOT NULL) AS fail_reasons,
+           |  round(
+           |    least(dl::DOUBLE / 500.0, 1.0) * 0.3 +
+           |    least(stop / 0.1, 1.0) * 0.3 +
+           |    greatest(1.0 - swr * 2.0, 0.0) * 0.2 +
+           |    greatest(1.0 - rep, 0.0) * 0.2, 6) AS quality_score
+           |FROM r""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_check_row_count" ->
@@ -635,49 +693,33 @@ object SparkEntry {
          |    '(?i)\\b(?:badword1|badword2|slur1)\\b', '<TOX>', 'g') AS scrubbed_text
          |FROM pages""".stripMargin,
 
-    "pipeline_verdict" ->
-      s"""WITH $pagesCte,
-         |m AS (
-         |  SELECT url, text,
-         |    list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
-         |                x -> length(x) > 0) AS words
-         |  FROM pages),
-         |r AS (
-         |  SELECT url, text, words,
-         |    length(coalesce(text,'')) AS dl,
-         |    length(regexp_replace(coalesce(text,''), '[\\p{L}\\p{N}\\s]', '', 'g'))::DOUBLE /
-         |      greatest(len(words), 1)::DOUBLE AS swr,
-         |    len(list_filter(words, x -> list_contains(
-         |      $stopList, lower(x))))::DOUBLE /
-         |      greatest(len(words), 1)::DOUBLE AS stop,
-         |    CASE WHEN len(words) = 0 THEN 0.0
-         |         ELSE 1.0 - len(list_distinct(words))::DOUBLE / len(words)::DOUBLE
-         |    END AS rep,
-         |    CASE WHEN len(words) < 2 THEN 0.0
-         |         ELSE (len(words) - 1 - len(list_distinct(
-         |           list_transform(range(1, len(words)),
-         |             i -> words[i] || ' ' || words[i+1]))))::DOUBLE /
-         |           (len(words) - 1)::DOUBLE
-         |    END AS b2,
-         |    0.0 AS dup
-         |  FROM m)
-         |SELECT url,
-         |  (dl >= 100) AND (swr <= 0.1) AND (stop >= 0.01) AND (rep <= 0.95)
-         |    AND (b2 <= 0.5) AND (dup <= 0.3) AS keep,
-         |  list_filter([
-         |    CASE WHEN NOT (dl >= 100) THEN 'min_doc_length' END,
-         |    CASE WHEN NOT (swr <= 0.1) THEN 'max_symbol_word_ratio' END,
-         |    CASE WHEN NOT (stop >= 0.01) THEN 'min_stopword_fraction' END,
-         |    CASE WHEN NOT (rep <= 0.95) THEN 'max_word_repetition' END,
-         |    CASE WHEN NOT (b2 <= 0.5) THEN 'max_dup_2gram' END,
-         |    CASE WHEN NOT (dup <= 0.3) THEN 'max_dup_line_fraction' END],
-         |    x -> x IS NOT NULL) AS fail_reasons,
-         |  round(
-         |    least(dl::DOUBLE / 500.0, 1.0) * 0.3 +
-         |    least(stop / 0.1, 1.0) * 0.3 +
-         |    greatest(1.0 - swr * 2.0, 0.0) * 0.2 +
-         |    greatest(1.0 - rep, 0.0) * 0.2, 6) AS quality_score
-         |FROM r""".stripMargin,
+    "pipeline_verdict" -> pipelineVerdictSql,
+
+    "pipeline_host_stats" ->
+      s"""WITH v AS ($pipelineVerdictSql)
+         |SELECT regexp_extract(url, 'https?://([^/]+)/', 1) AS host,
+         |  count(*) AS doc_count,
+         |  sum(CASE WHEN keep THEN 1 ELSE 0 END) AS keep_count,
+         |  round(sum(CASE WHEN keep THEN 1 ELSE 0 END)::DOUBLE /
+         |    count(*)::DOUBLE, 6) AS keep_rate
+         |FROM v GROUP BY 1""".stripMargin,
+
+    "dedup_ngram_inverted" ->
+      s"""WITH d AS (SELECT doc_id, $docShingles AS shs FROM documents),
+         |docs AS (SELECT doc_id, len(shs) AS n_sh, shs FROM d),
+         |inv AS (SELECT doc_id, n_sh, unnest(shs) AS sh FROM docs),
+         |dfreq AS (SELECT sh FROM inv GROUP BY sh HAVING count(*) <= 1000),
+         |pruned AS (SELECT i.* FROM inv i JOIN dfreq USING (sh)),
+         |pairs AS (
+         |  SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+         |         a.n_sh AS na, b.n_sh AS nb, count(*) AS inter
+         |  FROM pruned a JOIN pruned b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT key_a, key_b,
+         |  inter::DOUBLE / (na + nb - inter)::DOUBLE AS jaccard
+         |FROM pairs
+         |WHERE inter::DOUBLE / (na + nb - inter)::DOUBLE >= 0.5""".stripMargin,
+
 
     "multimodal_meta" ->
       s"""WITH $pagesCte

@@ -109,6 +109,28 @@ object QualityFilter {
       .withColumn("scrubbed_text", Scrub.scrub(col("text")))
   }
 
+  /** Per-host keep/drop statistics with EXPLICIT SALTING (north rule: a
+    * handful of hosts dominate a web crawl; a plain groupBy(host) puts an
+    * entire hot host in one reducer). Two-stage aggregation: partial
+    * combine on (host, salt) — bounded fan-in per reducer regardless of
+    * host skew — then final combine on host. Counts are associative, so
+    * the result is identical to the direct groupBy (PipelineSpec asserts
+    * this); AQE's skew handling stays on as the runtime backstop.
+    */
+  def hostStats(verdictDf: DataFrame, salts: Int = 16): DataFrame =
+    verdictDf
+      .withColumn("host", regexp_extract(col("url"), "https?://([^/]+)/", 1))
+      .withColumn("__salt", pmod(xxhash64(col("url")), lit(salts)))
+      .groupBy(col("host"), col("__salt"))
+      .agg(count(lit(1)).as("pn"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("pk"))
+      .groupBy(col("host"))
+      .agg(sum(col("pn")).as("doc_count"),
+        sum(col("pk")).as("keep_count"))
+      .withColumn("keep_rate",
+        round(col("keep_count").cast(DoubleType) /
+          col("doc_count").cast(DoubleType), 6))
+
   /** Per-partition lineage metrics in the spirit of the reference's metric
     * rows (weiser/checks/base.py:86-138): one row per (partition, rule)
     * with fail counts, plus a `keep` summary row per partition. A single

@@ -76,6 +76,51 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF (inverted-file) ANN: vectors are assigned to the nearest of K
+    * deterministic centroids (a hash-strided sample of the corpus — no
+    * RNG, no iterative training; one refinement pass would be a natural
+    * extension); queries scan only the `probes` nearest cells. The
+    * scale shape: centroids broadcast, assignment is a narrow map, the
+    * search touches ~probes/K of the data.
+    */
+  def ivfIndex(df: DataFrame, keyCol: String, vecCol: String,
+               k: Int = 16): (DataFrame, Array[Array[Double]]) = {
+    // deterministic centroid sample: the k rows with smallest xxhash64(key)
+    val centroids = df
+      .withColumn("__h", xxhash64(col(keyCol)))
+      .orderBy(col("__h")).limit(k)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val cLit = array(centroids.map(c => array(c.map(lit): _*)): _*)
+    // nearest centroid by cosine, as a pure Column expression
+    val scores = transform(cLit, c => cosine(col(vecCol), c))
+    val assigned = df.withColumn("__cell",
+      array_position(scores, array_max(scores)) - 1)
+    (assigned, centroids)
+  }
+
+  def ivfTopK(df: DataFrame, keyCol: String, vecCol: String,
+              query: Seq[Double], topK: Int, k: Int = 16,
+              probes: Int = 4): DataFrame = {
+    val (indexed, centroids) = ivfIndex(df, keyCol, vecCol, k)
+    def cos(a: Array[Double], b: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    val cells = centroids.zipWithIndex
+      .sortBy { case (c, _) => -cos(c, query) }
+      .take(probes).map(_._2.toLong)
+    val q = array(query.map(lit): _*)
+    indexed.filter(col("__cell").isin(cells: _*))
+      .select(col(keyCol), cosine(col(vecCol), q).as("score"))
+      .orderBy(col("score").desc, col(keyCol).asc)
+      .limit(topK)
+  }
+
   /** All-pairs cosine >= threshold, LSH-bucketed: self-join within buckets
     * only. With `bits` hyperplanes, vectors within a small angle collide
     * with high probability; multi-probe (`probes` extra single-bit flips)

@@ -82,8 +82,27 @@ object Runner {
       store.appendResumable(spark, rows)
     }
 
-    val s = store.summary(spark, runId).head()
+    // summary scoped to this (run, datasource) so multi-datasource fan-out
+    // reports per-datasource results
+    val s = store.read(spark)
+      .filter(col("run_id") === runId && col("datasource") === datasource)
+      .agg(count(lit(1)).as("total"),
+        sum(when(col("success"), 1L).otherwise(0L)).as("success_count"),
+        sum(when(!col("success"), 1L).otherwise(0L)).as("fail_count")).head()
     RunResult(runId, s.getAs[Long]("total"), s.getAs[Long]("success_count"),
       s.getAs[Long]("fail_count"))
   }
+
+  /** Multi-datasource fan-out (reference runner:26-37: every check runs
+    * once per configured datasource). Each datasource is a named table
+    * universe; check_ids differ per datasource by construction
+    * (sha256(datasource || ...)), so the rows coexist in one store.
+    */
+  def runAll(cfg: BaseConfig, spark: SparkSession,
+             datasources: Map[String, Map[String, DataFrame]],
+             store: MetricsStore, runId: String,
+             runTime: java.sql.Timestamp): Seq[RunResult] =
+    datasources.toSeq.sortBy(_._1).map { case (name, tables) =>
+      run(cfg, spark, tables, store, runId, runTime, name)
+    }
 }

@@ -112,6 +112,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(lsh.head.getLong(0) == 0L) // own bucket contains the query vector
   }
 
+  test("IVF top-k finds the query vector and ranks a brute-force subset") {
+    val q = vecs.filter(col("vec_id") === 0).head().getSeq[Float](1)
+      .map(_.toDouble)
+    val brute = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val ivf = Similarity.ivfTopK(vecs, "vec_id", "embedding", q, 10,
+      k = 4, probes = 2).collect()
+    assert(ivf.head.getLong(0) == 0L)
+    // every IVF hit is a real neighbor per brute force ordering semantics:
+    // scores must be correct cosines (spot check vs brute-force scores)
+    val bruteScores = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+      q, 50).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    ivf.foreach(r =>
+      assert(math.abs(bruteScores(r.getLong(0)) - r.getDouble(1)) < 1e-9))
+    // recall sanity: probing half the cells finds most of the true top-10
+    assert(ivf.map(_.getLong(0)).count(brute.contains) >= 5)
+  }
+
   test("LSH buckets are deterministic across evaluations") {
     val b1 = vecs.select(Similarity.lshBucket(col("embedding"), 6)).collect()
     val b2 = vecs.select(Similarity.lshBucket(col("embedding"), 6)).collect()

@@ -131,6 +131,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(direct("hot.example.com") == 180)
   }
 
+  test("hostStats (salted two-stage) equals direct groupBy on skewed hosts") {
+    val pages = mkPages((0 until 200).map { i =>
+      val host = if (i < 180) "hot.example.com" else s"h$i.example.com"
+      (s"https://$host/p$i", if (i % 2 == 0) goodText else "", "en")
+    })
+    val v = QualityFilter.run(pages, QualityFilter.heuristicRules)
+    val salted = QualityFilter.hostStats(v).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val direct = v
+      .withColumn("host", regexp_extract(col("url"), "https?://([^/]+)/", 1))
+      .groupBy("host").agg(count(lit(1)).as("n"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("k"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(salted == direct)
+    assert(salted("hot.example.com") == ((180L, 90L)))
+  }
+
   test("flagship entry returns rows with expected schema") {
     val df = SparkEntry.entry(spark)
     assert(df.count() > 0)

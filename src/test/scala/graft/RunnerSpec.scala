@@ -55,6 +55,26 @@ class RunnerSpec extends AnyFunSuite {
     assert(store.read(spark).count() == 3)
   }
 
+  test("multi-datasource fan-out: every check runs once per datasource") {
+    val tmp = java.nio.file.Files.createTempDirectory("runall").toString
+    val cfg = ConfigLoader.parseYaml(yaml)
+    val store = new MetricsStore(s"$tmp/metrics")
+    val results = Runner.runAll(cfg, spark,
+      Map("ds1" -> Map("sales" -> sales),
+        "ds2" -> Map("sales" -> sales.limit(2))),
+      store, "runY", java.sql.Timestamp.valueOf("2024-06-01 00:00:00"))
+    assert(results.length == 2)
+    assert(results.head.total == 3)  // ds1: 1 global + 2 groups
+    val byDs = store.read(spark).groupBy("datasource").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byDs("ds1") == 3 && byDs("ds2") == 2) // ds2 has only grp a rows
+    // check_ids differ across datasources for the same check
+    val ids = store.read(spark)
+      .filter(col("name") === "sales count").select("check_id")
+      .collect().map(_.getString(0)).toSet
+    assert(ids.size == 2)
+  }
+
   test("compile mode validates plans without executing") {
     val cfg = ConfigLoader.parseYaml(yaml)
     val plans = Runner.compile(cfg, spark, Map("sales" -> sales))

@@ -96,26 +96,69 @@ object LangId extends Serializable {
   /** Per-language profile vectors (the linear layer). */
   lazy val profiles: Array[Array[Float]] = langs.map(l => featurize(seeds(l)))
 
-  /** (predicted lang, softmax confidence). Empty text -> ("und", 0.0). */
+  /** Profiles interleaved bucket-major: packed(h*nLangs + k) = profiles(k)(h).
+    * One gram lookup then touches one cache line for all languages instead
+    * of one line per language — the scorer is memory-bound, not flop-bound.
+    */
+  private lazy val packed: Array[Float] = {
+    val n = langs.length
+    val p = new Array[Float](dim * n)
+    var h = 0
+    while (h < dim) {
+      var k = 0
+      while (k < n) { p(h * n + k) = profiles(k)(h); k += 1 }
+      h += 1
+    }
+    p
+  }
+
+  /** (predicted lang, softmax confidence). Empty text -> ("und", 0.0).
+    *
+    * Streaming scorer: the dot product against each profile is linear in
+    * gram occurrences, so grams are streamed straight into one accumulator
+    * per language — no per-document feature vector is materialized (the
+    * dense formulation allocates dim*4 bytes and does langs*dim multiplies
+    * PER DOCUMENT; at 10^12 documents that allocation churn is the
+    * pipeline's hot loop). Scores are per-gram means, so document length
+    * cancels; prediction is identical to the dense cosine argmax because
+    * the document norm is constant across languages.
+    */
   def predict(text: String): (String, Double) = {
     if (text == null || text.trim.isEmpty) return ("und", 0.0)
-    val f = featurize(text)
-    val scores = new Array[Double](langs.length)
-    var k = 0
-    while (k < langs.length) {
-      val p = profiles(k)
-      var dot = 0.0
-      var j = 0
-      while (j < dim) { dot += f(j) * p(j); j += 1 }
-      scores(k) = dot
+    val t = " " + text.toLowerCase + " "
+    val nLangs = langs.length
+    val scores = new Array[Double](nLangs)
+    var grams = 0
+    @inline def allSpace(from: Int, until: Int): Boolean = {
+      var k = from
+      while (k < until) { if (t.charAt(k) != ' ') return false; k += 1 }
+      true
+    }
+    val pk = packed
+    @inline def add(h: Int): Unit = {
+      val base = h * nLangs
+      var k = 0
+      while (k < nLangs) { scores(k) += pk(base + k); k += 1 }
+      grams += 1
+    }
+    var i = 0
+    while (i < t.length - 1) {
+      if (!allSpace(i, i + 1)) add(fnv1a(t, i, i + 1))
+      if (!allSpace(i, i + 2)) add(fnv1a(t, i, i + 2))
+      if (i < t.length - 2 && !allSpace(i, i + 3)) add(fnv1a(t, i, i + 3))
+      i += 1
+    }
+    if (grams == 0) return ("und", 0.0)
+    var best = 0
+    var k = 1
+    while (k < nLangs) { if (scores(k) > scores(best)) best = k; k += 1 }
+    // per-gram mean scores; temperature-50 softmax for a spread confidence
+    var expSum = 0.0
+    k = 0
+    while (k < nLangs) {
+      expSum += math.exp(50.0 * (scores(k) - scores(best)) / grams)
       k += 1
     }
-    var best = 0
-    k = 1
-    while (k < scores.length) { if (scores(k) > scores(best)) best = k; k += 1 }
-    // temperature-10 softmax so confident docs land near 1.0
-    val exps = scores.map(s => math.exp(10.0 * (s - scores(best))))
-    val conf = 1.0 / exps.sum
-    (langs(best), conf)
+    (langs(best), 1.0 / expSum)
   }
 }

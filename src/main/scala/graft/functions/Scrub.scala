@@ -50,6 +50,62 @@ object Scrub {
     regexp_replace(pii, toxicityPattern, "<TOX>")
   }
 
+  /** Same chain as one UDF with precompiled Patterns: each Catalyst
+    * regexp_replace round-trips UTF8String -> String -> UTF8String, so six
+    * chained replaces cost six conversions per row; this costs one. Same
+    * java.util.regex engine and Matcher.replaceAll semantics, so output
+    * bytes are identical (ScrubSpec + the scrub_pii DuckDB oracle assert
+    * it).
+    */
+  private lazy val compiled: Array[(java.util.regex.Pattern, String)] =
+    (piiPatterns :+ (toxicityPattern, "<TOX>")).map { case (p, r) =>
+      (java.util.regex.Pattern.compile(p), r)
+    }.toArray
+
+  /** Case-insensitive ASCII substring scan, allocation-free. */
+  private def containsIgnoreCase(t: String, needle: String): Boolean = {
+    val n = needle.length
+    var i = 0
+    while (i <= t.length - n) {
+      var j = 0
+      while (j < n && Character.toLowerCase(t.charAt(i + j)) == needle.charAt(j)) j += 1
+      if (j == n) return true
+      i += 1
+    }
+    false
+  }
+
+  /** Necessary-condition guards per pattern: a pattern that cannot match
+    * without '@' (email), a digit (cc/ssn/phone/ip) or a lexicon stem
+    * (toxicity) is skipped after one cheap char scan. Exact — a guard
+    * never suppresses a possible match — and it matters: the regex engine
+    * was the pipeline's worst-scaling stage, and most documents carry no
+    * PII at all.
+    */
+  def scrubString(text: String): String = {
+    var t = if (text == null) "" else text
+    var hasAt = false; var hasDigit = false
+    var i = 0
+    while (i < t.length && !(hasAt && hasDigit)) {
+      val c = t.charAt(i)
+      if (c == '@') hasAt = true
+      else if (c >= '0' && c <= '9') hasDigit = true
+      i += 1
+    }
+    if (hasAt) t = compiled(0)._1.matcher(t).replaceAll(compiled(0)._2)
+    if (hasDigit) {
+      var k = 1
+      while (k < 5) { t = compiled(k)._1.matcher(t).replaceAll(compiled(k)._2); k += 1 }
+    }
+    if (toxicityWords.exists(w => containsIgnoreCase(t, w)))
+      t = compiled(5)._1.matcher(t).replaceAll(compiled(5)._2)
+    t
+  }
+
+  val scrubUdf = udf { text: String => scrubString(text) }
+
+  def scrubFast(text: Column): Column = scrubUdf(text)
+
   /** Count of PII matches scrubbed, for lineage metrics. */
   def piiMatchCount(text: Column): Column =
     piiPatterns.map { case (pat, _) =>

@@ -1,0 +1,353 @@
+package graft.functions
+
+import java.util.regex.Pattern
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+
+/** All per-document text counters in ONE allocation-free pass.
+  *
+  * Why this exists — two measured walls on the way to 100 TB:
+  *  1. The pure-Column formulation re-split and re-scanned the text ~10x
+  *     per row (rule verdicts + fail_reasons + quality score each carried
+  *     their own expression tree; Catalyst CSE does not reliably dedupe
+  *     higher-order array lambdas). Profiled: 30s of a 50s 750k-doc run.
+  *  2. A straightforward JVM rewrite (split -> String[] + HashSet[String]
+  *     + bigram concats) allocated ~1800 small objects per document and
+  *     hit the collector's throughput wall at ~47k docs/sec no matter how
+  *     many cores ran (8 threads = 32 threads in a raw-JVM microbench,
+  *     while the allocation-free langid scorer scaled 22x).
+  *
+  * So: word iteration by index ranges over the original string, distinct
+  * words / duplicate bigrams via open-addressing tables of (hash, range)
+  * with char-range verification (exact, not probabilistic), stopword hits
+  * via a static int-hash table with case-folded range comparison. The only
+  * per-document allocations are a handful of flat int arrays.
+  *
+  * Value parity is load-bearing (DuckDB oracles + committed golden labels):
+  * regex counters use precompiled java.util.regex Patterns — the same
+  * engine Spark's regexp_* functions use — lengths count code points
+  * (Spark length() = UTF8String.numChars), and word/bigram/line identity is
+  * exact char equality. Stopword case-folding is per-char
+  * Character.toLowerCase, which matches String.toLowerCase(Locale.ROOT)
+  * for every word that can fold into an ASCII/CJK/Latin stopword (the
+  * divergent locale-special code points like U+0130 can never produce a
+  * stopword under either rule). TextStatsSpec asserts equality against the
+  * Column twins field by field.
+  */
+object TextStats {
+
+  // Stats vector layout (flat Array[Int]: ScalaUDFs returning case classes
+  // pay a struct-encoder conversion on every call; primitives stay fast).
+  val DOC_LENGTH = 0      // code points, = length(text)
+  val WORD_COUNT = 1      // \s+ split, empty tokens dropped
+  val TOKEN_COUNT = 2     // BPE-ish pre-tokenizer matches
+  val SYMBOL_COUNT = 3    // code points not \p{L}\p{N}\s
+  val STOP_HITS = 4       // case-folded word in stopword set
+  val DISTINCT_WORDS = 5
+  val DUP_2GRAMS = 6      // duplicated word bigram occurrences
+  val LINE_COUNT = 7      // non-blank lines
+  val DISTINCT_LINES = 8
+  val NON_SPACE_COUNT = 9 // code points not \s (ASCII class, as regex)
+  val UPPER_COUNT = 10    // A-Z
+  val DIGIT_COUNT = 11    // 0-9
+
+  private val symbolPat = Pattern.compile("[^\\p{L}\\p{N}\\s]")
+
+  @inline private def isAsciiSpace(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '' || c == '\f' || c == '\r'
+
+  // ---- static stopword hash table (case-folded FNV over chars) ----
+  @inline private def foldHash(t: String, from: Int, until: Int): Int = {
+    var h = 0x811c9dc5
+    var i = from
+    while (i < until) {
+      h ^= Character.toLowerCase(t.charAt(i)).toInt
+      h *= 0x01000193
+      i += 1
+    }
+    h
+  }
+
+  private val stopWords: Array[String] = Heuristics.stopwords.toArray
+  private val stopCap: Int = Integer.highestOneBit(stopWords.length * 4) * 2
+  private val stopSlot: Array[Int] = Array.fill(stopCap)(-1)
+  locally {
+    stopWords.indices.foreach { i =>
+      val w = stopWords(i)
+      var s = foldHash(w, 0, w.length) & (stopCap - 1)
+      while (stopSlot(s) != -1) s = (s + 1) & (stopCap - 1)
+      stopSlot(s) = i
+    }
+  }
+
+  @inline private def foldedEquals(t: String, from: Int, until: Int,
+                                   w: String): Boolean = {
+    if (until - from != w.length) return false
+    var i = 0
+    while (i < w.length) {
+      if (Character.toLowerCase(t.charAt(from + i)) != w.charAt(i)) return false
+      i += 1
+    }
+    true
+  }
+
+  @inline private def isStopword(t: String, from: Int, until: Int): Boolean = {
+    var s = foldHash(t, from, until) & (stopCap - 1)
+    while (stopSlot(s) != -1) {
+      if (foldedEquals(t, from, until, stopWords(stopSlot(s)))) return true
+      s = (s + 1) & (stopCap - 1)
+    }
+    false
+  }
+
+  @inline private def rangeHash(t: String, from: Int, until: Int): Int = {
+    var h = 0x811c9dc5
+    var i = from
+    while (i < until) { h ^= t.charAt(i).toInt; h *= 0x01000193; i += 1 }
+    h
+  }
+
+  @inline private def rangeEquals(t: String, a0: Int, a1: Int,
+                                  b0: Int, b1: Int): Boolean = {
+    if (a1 - a0 != b1 - b0) return false
+    var i = 0
+    val n = a1 - a0
+    while (i < n) {
+      if (t.charAt(a0 + i) != t.charAt(b0 + i)) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Per-thread reusable scratch tables with generation stamps: occupancy
+    * is slotGen(s) == gen, so a new document costs one counter increment
+    * instead of re-zeroing the tables. Sizing the tables per document was
+    * the scaling killer: ~50 KB of freshly zeroed + filled arrays per doc
+    * is ~2 GB/s of pure memory-write traffic at full throughput — the
+    * cores were fighting for store bandwidth, not doing work.
+    */
+  private final class Scratch {
+    var cap = 1024
+    var mask = cap - 1
+    var gen = 0
+    var wGen = new Array[Int](cap)
+    var wSlotStart = new Array[Int](cap)
+    var wSlotEnd = new Array[Int](cap)
+    var bGen = new Array[Int](cap)
+    var bSlotA = new Array[Int](cap)
+    var bSlotAe = new Array[Int](cap)
+    var bSlotB = new Array[Int](cap)
+    var bSlotBe = new Array[Int](cap)
+    def ensure(maxWords: Int): Unit = {
+      var need = Integer.highestOneBit(math.max(maxWords, 4)) * 4
+      if (need > cap) {
+        cap = need; mask = cap - 1; gen = 0
+        wGen = new Array[Int](cap); wSlotStart = new Array[Int](cap)
+        wSlotEnd = new Array[Int](cap)
+        bGen = new Array[Int](cap); bSlotA = new Array[Int](cap)
+        bSlotAe = new Array[Int](cap); bSlotB = new Array[Int](cap)
+        bSlotBe = new Array[Int](cap)
+      }
+      if (gen == Int.MaxValue) { // stamp wrap guard (once per 2^31 docs)
+        java.util.Arrays.fill(wGen, 0)
+        java.util.Arrays.fill(bGen, 0)
+        gen = 0
+      }
+      gen += 1 // gen 0 marks empty slots of freshly allocated arrays
+    }
+  }
+  private val scratch = ThreadLocal.withInitial[Scratch](() => new Scratch)
+
+  def compute(text: String): Array[Int] = {
+    val t = if (text == null) "" else text
+    val docLength = t.codePointCount(0, t.length)
+
+    // pass 1: char classes + word count (sizes the scratch tables)
+    var upper = 0; var digit = 0; var spaceUnits = 0; var maxWords = 0
+    var inWord = false
+    var ci = 0
+    while (ci < t.length) {
+      val c = t.charAt(ci)
+      if (c >= 'A' && c <= 'Z') { upper += 1; if (!inWord) { maxWords += 1; inWord = true } }
+      else if (c >= '0' && c <= '9') { digit += 1; if (!inWord) { maxWords += 1; inWord = true } }
+      else if (isAsciiSpace(c)) { spaceUnits += 1; inWord = false }
+      else if (!inWord) { maxWords += 1; inWord = true }
+      ci += 1
+    }
+    // \s is ASCII-only; each ASCII space is one code unit = one code point
+    val nonSpace = docLength - spaceUnits
+
+    // pass 2: words by index range; distinct + stopwords + dup bigrams via
+    // open addressing over (hash, range) — exact char comparison on
+    // collision, zero String allocation
+    val sc = scratch.get()
+    sc.ensure(maxWords)
+    val mask = sc.mask
+    val gen = sc.gen
+    val wGen = sc.wGen
+    val wSlotStart = sc.wSlotStart
+    val wSlotEnd = sc.wSlotEnd
+    val bGen = sc.bGen
+    val bSlotA = sc.bSlotA
+    val bSlotAe = sc.bSlotAe
+    val bSlotB = sc.bSlotB
+    val bSlotBe = sc.bSlotBe
+
+    var wc = 0; var stops = 0; var distinctW = 0; var dupB = 0
+    var prevS = -1; var prevE = -1; var prevH = 0
+    var i = 0
+    while (i < t.length) {
+      if (isAsciiSpace(t.charAt(i))) i += 1
+      else {
+        val ws = i
+        while (i < t.length && !isAsciiSpace(t.charAt(i))) i += 1
+        val we = i
+        wc += 1
+        if (isStopword(t, ws, we)) stops += 1
+        val h = rangeHash(t, ws, we)
+        var s = h & mask
+        var found = false
+        while (!found && wGen(s) == gen) {
+          if (rangeEquals(t, wSlotStart(s), wSlotEnd(s), ws, we)) found = true
+          else s = (s + 1) & mask
+        }
+        if (!found) {
+          wGen(s) = gen; wSlotStart(s) = ws; wSlotEnd(s) = we; distinctW += 1
+        }
+        if (prevS >= 0) {
+          var bs = (prevH * 31 + h) & mask
+          var bFound = false
+          while (!bFound && bGen(bs) == gen) {
+            if (rangeEquals(t, bSlotA(bs), bSlotAe(bs), prevS, prevE) &&
+              rangeEquals(t, bSlotB(bs), bSlotBe(bs), ws, we)) bFound = true
+            else bs = (bs + 1) & mask
+          }
+          if (bFound) dupB += 1
+          else {
+            bGen(bs) = gen
+            bSlotA(bs) = prevS; bSlotAe(bs) = prevE
+            bSlotB(bs) = ws; bSlotBe(bs) = we
+          }
+        }
+        prevS = ws; prevE = we; prevH = h
+      }
+    }
+
+    // token counter: hand-rolled equivalent of the regex
+    // [A-Za-z]+|[0-9]+|[^A-Za-z0-9\s] (letter runs, digit runs, single
+    // non-alnum-non-space code points). The regex alternation measured
+    // 39k docs/sec and REFUSED to scale across threads even with a fresh
+    // Pattern per thread (JDK17, MicroBench4); this loop does 265k/core
+    // and scales linearly. Equality with the regex is asserted by
+    // TextStatsSpec via the Column twin.
+    var tokens = 0
+    var ti = 0
+    while (ti < t.length) {
+      val c = t.charAt(ti)
+      if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')) {
+        tokens += 1; ti += 1
+        while (ti < t.length && {
+          val d = t.charAt(ti)
+          (d >= 'A' && d <= 'Z') || (d >= 'a' && d <= 'z')
+        }) ti += 1
+      } else if (c >= '0' && c <= '9') {
+        tokens += 1; ti += 1
+        while (ti < t.length && { val d = t.charAt(ti); d >= '0' && d <= '9' }) ti += 1
+      } else if (isAsciiSpace(c)) ti += 1
+      else {
+        tokens += 1
+        ti += Character.charCount(t.codePointAt(ti))
+      }
+    }
+    // symbol counter via the shared Pattern (this one scales fine); one
+    // match = one code point, astral-safe
+    var symbols = 0
+    val sm = symbolPat.matcher(t)
+    while (sm.find()) symbols += 1
+
+    // lines: non-blank raw lines, distinct on raw content (few lines per
+    // document; linear range comparison keeps exactness with zero allocs)
+    var lines = 0; var distinctL = 0
+    var lStart = new Array[Int](64)
+    var lEnd = new Array[Int](64)
+    var lN = 0
+    var start = 0
+    var li = 0
+    while (li <= t.length) {
+      if (li == t.length || t.charAt(li) == '\n') {
+        var blank = true
+        var k = start
+        while (blank && k < li) { if (t.charAt(k) != ' ') blank = false; k += 1 }
+        if (!blank) {
+          lines += 1
+          var dup = false
+          var j = 0
+          while (!dup && j < lN) {
+            if (rangeEquals(t, lStart(j), lEnd(j), start, li)) dup = true
+            j += 1
+          }
+          if (!dup) {
+            if (lN == lStart.length) {
+              lStart = java.util.Arrays.copyOf(lStart, lN * 2)
+              lEnd = java.util.Arrays.copyOf(lEnd, lN * 2)
+            }
+            lStart(lN) = start; lEnd(lN) = li; lN += 1
+            distinctL += 1
+          }
+        }
+        start = li + 1
+      }
+      li += 1
+    }
+
+    Array(docLength, wc, tokens, symbols, stops, distinctW, dupB,
+      lines, distinctL, nonSpace, upper, digit)
+  }
+
+  val statsUdf = udf { text: String => compute(text) }
+
+  def statsCol(text: Column): Column = statsUdf(text)
+
+  /** Ratio measures from a stats vector column — same formulas as the
+    * Column twins in Heuristics, so values are identical.
+    */
+  def measure(name: String, st: Column): Option[Column] = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DoubleType
+    def d(c: Column) = c.cast(DoubleType)
+    def wc1 = greatest(st.getItem(WORD_COUNT), lit(1))
+    name match {
+      case "doc_length"   => Some(d(st.getItem(DOC_LENGTH)))
+      case "word_count"   => Some(d(st.getItem(WORD_COUNT)))
+      case "token_count"  => Some(d(st.getItem(TOKEN_COUNT)))
+      case "symbol_word_ratio" => Some(d(st.getItem(SYMBOL_COUNT)) / d(wc1))
+      case "stopword_fraction" => Some(d(st.getItem(STOP_HITS)) / d(wc1))
+      case "word_repetition_ratio" => Some(
+        when(st.getItem(WORD_COUNT) === 0, lit(0.0))
+          .otherwise(lit(1.0) - d(st.getItem(DISTINCT_WORDS)) /
+            d(st.getItem(WORD_COUNT))))
+      case "dup_2gram_fraction" => Some(
+        when(st.getItem(WORD_COUNT) < 2, lit(0.0))
+          .otherwise(d(st.getItem(DUP_2GRAMS)) /
+            d(st.getItem(WORD_COUNT) - 1)))
+      case "dup_line_fraction" => Some(
+        when(st.getItem(LINE_COUNT) === 0, lit(0.0))
+          .otherwise(lit(1.0) - d(st.getItem(DISTINCT_LINES)) /
+            d(st.getItem(LINE_COUNT))))
+      case "mean_word_length" => Some(d(st.getItem(NON_SPACE_COUNT)) / d(wc1))
+      case "upper_fraction" => Some(d(st.getItem(UPPER_COUNT)) /
+        d(greatest(st.getItem(DOC_LENGTH), lit(1))))
+      case "digit_fraction" => Some(d(st.getItem(DIGIT_COUNT)) /
+        d(greatest(st.getItem(DOC_LENGTH), lit(1))))
+      case "quality_score" => Some(round(
+        least(d(st.getItem(DOC_LENGTH)) / lit(500.0), lit(1.0)) * lit(0.3) +
+          least((d(st.getItem(STOP_HITS)) / d(wc1)) / lit(0.1), lit(1.0)) * lit(0.3) +
+          greatest(lit(1.0) - (d(st.getItem(SYMBOL_COUNT)) / d(wc1)) * lit(2.0),
+            lit(0.0)) * lit(0.2) +
+          greatest(lit(1.0) - when(st.getItem(WORD_COUNT) === 0, lit(0.0))
+            .otherwise(lit(1.0) - d(st.getItem(DISTINCT_WORDS)) /
+              d(st.getItem(WORD_COUNT))), lit(0.0)) * lit(0.2), 6))
+      case _ => None
+    }
+  }
+}

@@ -77,10 +77,16 @@ object QualityFilter {
   /** Verdict columns for a rule set: (ruleName -> boolean pass Column).
     * NULL measure => fail, inherited from Conditions.verdict
     * (reference None=>False rule, weiser/checks/base.py:49-50).
+    * When a stats struct column is supplied, text measures resolve to its
+    * fields (one text pass total) instead of standalone expression trees.
     */
-  def ruleVerdicts(rules: Seq[RowRule]): Seq[(String, Column)] =
-    rules.map(r => r.name ->
-      Conditions.verdict(measureColumn(r.measure), r.condition, r.threshold))
+  def ruleVerdicts(rules: Seq[RowRule],
+                   stats: Option[Column] = None): Seq[(String, Column)] =
+    rules.map { r =>
+      val m = stats.flatMap(st => graft.functions.TextStats.measure(r.measure, st))
+        .getOrElse(measureColumn(r.measure))
+      r.name -> Conditions.verdict(m, r.condition, r.threshold)
+    }
 
   /** fail_reasons array in rule-declaration order (deterministic). */
   def failReasons(verdicts: Seq[(String, Column)]): Column =
@@ -97,16 +103,21 @@ object QualityFilter {
   def run(pages: DataFrame, rules: Seq[RowRule] = defaultRules): DataFrame = {
     val needsModels = rules.exists(r =>
       r.measure == "ppl" || r.measure == "langid_score")
-    val scored =
-      if (needsModels) ModelScores.withScores(pages.drop("html"), "text")
-      else pages.drop("html")
-    val verdicts = ruleVerdicts(rules)
+    // ONE mapPartitions island computes model scores, the text-stats
+    // vector and the scrubbed text from a single text conversion per row;
+    // verdicts, fail_reasons and the quality score are then cheap Column
+    // reads of the stats vector (see ModelScores.withAllMeasures)
+    val scored = ModelScores.withAllMeasures(pages.drop("html"), "text",
+      models = needsModels)
+    val st = col("__ts")
+    val verdicts = ruleVerdicts(rules, Some(st))
     val keep = verdicts.map(_._2).reduce(_ && _)
     scored
-      .withColumn("quality_score", Heuristics.qualityScore(col("text")))
+      .withColumn("quality_score",
+        graft.functions.TextStats.measure("quality_score", st).get)
       .withColumn("keep", keep)
       .withColumn("fail_reasons", failReasons(verdicts))
-      .withColumn("scrubbed_text", Scrub.scrub(col("text")))
+      .drop("__ts")
   }
 
   /** Per-host keep/drop statistics with EXPLICIT SALTING (north rule: a

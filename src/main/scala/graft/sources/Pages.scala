@@ -67,8 +67,10 @@ object Pages {
     // everything downstream (synthesis, scoring, scrub) are then narrow and
     // spread over all cores — crossing before repartitioning would run the
     // whole synthesis in the base table's single input task
+    // 2 tasks per core: a single wave of cores-sized tasks lets one
+    // straggler (OS jitter, shared-VM neighbor) stall the whole stage
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      .repartition(spark.sparkContext.defaultParallelism)
+      .repartition(spark.sparkContext.defaultParallelism * 2)
     val reps = broadcast(spark.range(factor).select(col("id").as("rep")))
     fromDocuments(
       docs.crossJoin(reps)

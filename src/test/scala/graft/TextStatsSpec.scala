@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{Heuristics, Scrub, TextStats}
+
+/** The fused single-pass TextStats UDF must be bit-identical to the pure
+  * Column measures (the DuckDB oracles and golden labels are defined
+  * against the Column formulas).
+  */
+class TextStatsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "", "   \t  ", null,
+    "spam spam spam spam spam",
+    "line1\nline1\nline2\n  \nline3",
+    "héllo wörld 日本語 𝔘𝔫𝔦𝔠𝔬𝔡𝔢 🚀 emoji ñandú",
+    "@#$% ^&*( #$@! 123 abc",
+    "The Cat AND the dog WAS at THE house 42 times",
+    "a b a b a b a b c d",
+    "多 个 中文 字 的 测试 文本 在 这里"
+  )
+
+  test("every stats-derived measure equals its Column twin, bit for bit") {
+    val df = docs.toDF("text")
+      .withColumn("__ts", TextStats.statsCol(col("text")))
+    val measures = Seq(
+      "doc_length" -> Heuristics.docLength(col("text")).cast("double"),
+      "word_count" -> Heuristics.wordCount(col("text")).cast("double"),
+      "token_count" -> Heuristics.tokenCount(col("text")).cast("double"),
+      "symbol_word_ratio" -> Heuristics.symbolWordRatio(col("text")),
+      "stopword_fraction" -> Heuristics.stopwordFraction(col("text")),
+      "word_repetition_ratio" -> Heuristics.wordRepetitionRatio(col("text")),
+      "dup_2gram_fraction" -> Heuristics.dup2gramFraction(col("text")),
+      "dup_line_fraction" -> Heuristics.dupLineFraction(col("text")),
+      "mean_word_length" -> Heuristics.meanWordLength(col("text")),
+      "upper_fraction" -> Heuristics.upperFraction(col("text")),
+      "digit_fraction" -> Heuristics.digitFraction(col("text")),
+      "quality_score" -> Heuristics.qualityScore(col("text")))
+    measures.foreach { case (name, colTwin) =>
+      val rows = df.select(colTwin.as("a"),
+        TextStats.measure(name, col("__ts")).get.as("b"),
+        col("text")).collect()
+      rows.foreach { r =>
+        val (a, b) = (r.getDouble(0), r.getDouble(1))
+        assert(java.lang.Double.compare(a, b) == 0,
+          s"$name mismatch on [${r.getString(2)}]: column=$a stats=$b")
+      }
+    }
+  }
+
+  test("scrubFast (one-pass UDF) equals the regexp_replace chain, byte for byte") {
+    val piiDocs = docs ++ Seq(
+      "mail a@b.co call 555-123-4567 or (212) 555-1234 ssn 123-45-6789 " +
+        "card 4111 1111 1111 1111 ip 10.0.0.1 badword1")
+    val rows = piiDocs.toDF("text")
+      .select(Scrub.scrub(col("text")), Scrub.scrubFast(col("text"))).collect()
+    rows.foreach(r => assert(r.getString(0) == r.getString(1)))
+  }
+
+  test("golden labels are unchanged by the fused path (spot invariant)") {
+    // the full GoldenSpec covers this end-to-end; here: stats path on the
+    // fixture corpus produces the same keep verdicts as the Column path
+    val pages = graft.sources.GoldenCorpus.generate(spark, 48)
+    val fused = graft.operators.QualityFilter.run(pages,
+      graft.operators.QualityFilter.heuristicRules)
+      .select("url", "keep").collect()
+      .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    val columnPath = pages
+      .withColumn("keep", graft.operators.QualityFilter
+        .ruleVerdicts(graft.operators.QualityFilter.heuristicRules, None)
+        .map(_._2).reduce(_ && _))
+      .select("url", "keep").collect()
+      .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(fused == columnPath)
+  }
+}

@@ -237,6 +237,10 @@ object SparkEntry {
     "q_event_window" -> ((s, dir) =>
       EventStream.windowedAgg(t(s, dir, "events"))),
 
+    // gap sessionization (lag + running-sum windows, SURVEY §2.5 extension)
+    "q_sessionize" -> ((s, dir) =>
+      EventStream.sessionize(t(s, dir, "events"))),
+
     // ---- text analysis over documents ----
     "text_quality" -> ((s, dir) => tp(s, dir, "documents").select(
       col("doc_id"),
@@ -611,6 +615,24 @@ object SparkEntry {
         |  to_minutes((extract(minute FROM ts)::BIGINT // 5) * 5) AS win_start,
         |  event_type, count(*) AS n, round(sum(value), 4) AS v
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |f AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL OR
+        |    floor(epoch(ts))::BIGINT - floor(epoch(prev_ts))::BIGINT > 1800
+        |    THEN 1 ELSE 0 END AS new_session FROM e),
+        |g AS (
+        |  SELECT *, sum(new_session) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id FROM f)
+        |SELECT user_id, session_id, min(ts) AS session_start,
+        |  max(ts) AS session_end, count(*) AS n_events,
+        |  round(sum(value), 4) AS total_value
+        |FROM g GROUP BY 1, 2""".stripMargin,
 
     "text_quality" ->
       s"""WITH w AS (

@@ -43,16 +43,39 @@ object Runner {
   def run(cfg: BaseConfig, spark: SparkSession,
           tables: Map[String, DataFrame], store: MetricsStore,
           runId: String, runTime: java.sql.Timestamp,
-          datasource: String = "default"): RunResult = {
+          datasource: String = "default",
+          strict: Boolean = true): RunResult = {
     probe(tables)
     val (anomalyChecks, planChecks) =
       cfg.checks.partition(_.checkType == CheckType.Anomaly)
 
-    // one union-of-aggregates job for every non-anomaly check
-    planChecks.map(c => CheckCompiler.run(c, spark, tables, datasource,
-        runId, runTime))
-      .reduceOption(_ unionByName _)
-      .foreach(rows => store.appendResumable(spark, rows))
+    // one union-of-aggregates job for every non-anomaly check; each plan
+    // tagged with its check index so strict validation stays one job
+    val tagged = planChecks.zipWithIndex.map { case (c, i) =>
+      CheckCompiler.run(c, spark, tables, datasource, runId, runTime)
+        .withColumn("__ci", lit(i))
+    }
+    tagged.reduceOption(_ unionByName _).foreach { rows =>
+      val cached = rows.cache()
+      if (strict) {
+        // reference parity V4: the driver raises on empty results or a
+        // NULL first value (weiser/drivers/base.py:67-70) — surface
+        // vanished datasets / all-NULL measures as errors, not verdicts
+        val byCheck = cached.groupBy(col("__ci")).agg(
+          count(lit(1)).as("n"),
+          sum(when(col("actual_value").isNull, 1L).otherwise(0L)).as("nulls"))
+          .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+        planChecks.zipWithIndex.foreach { case (c, i) =>
+          val (n, nulls) = byCheck.getOrElse(i, (0L, 0L))
+          if (n == 0) throw new IllegalStateException(
+            s"Empty results for query of check: ${c.name}")
+          if (nulls > 0) throw new IllegalStateException(
+            s"NULL actual value for check: ${c.name}")
+        }
+      }
+      store.appendResumable(spark, cached.drop("__ci"))
+      cached.unpersist()
+    }
 
     // anomaly checks read the (now updated) metrics history
     anomalyChecks.foreach { c =>

@@ -43,6 +43,22 @@ class MetricsStore(val path: String) {
     n
   }
 
+  /** Incremental import from an external metrics dump — full semantics of
+    * the reference's S3 re-import (duckdb.py:174-268): only rows newer
+    * than the store's run_time watermark are considered, and of those,
+    * rows whose deterministic id already exists are dropped (INSERT OR
+    * IGNORE). Returns the number of rows imported.
+    */
+  def importIncremental(spark: SparkSession, external: DataFrame): Long = {
+    val candidate =
+      if (!exists(spark)) external
+      else {
+        val wm = read(spark).agg(max(col("run_time"))).head().getTimestamp(0)
+        external.filter(col("run_time") > lit(wm))
+      }
+    appendResumable(spark, candidate)
+  }
+
   /** Run summary — the reference's export aggregation
     * (duckdb.py:497-528): total / success / fail counts for a run.
     */

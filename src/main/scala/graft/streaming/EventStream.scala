@@ -44,4 +44,67 @@ object EventStream {
     q.stop()
     spark.table(name)
   }
+
+  /** Batch sessionization: gap-based sessions per user (lag -> new-session
+    * flag -> running sum = session id -> per-session aggregate). The
+    * standard two-window formulation; SQL-expressible, so DuckDB oracles
+    * it (q_sessionize).
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          // TIMESTAMP_NTZ has no direct long cast; session tz is UTC so
+          // the ltz round-trip is value-preserving
+          col("ts").cast("timestamp").cast("long") -
+            col("prev_ts").cast("timestamp").cast("long") >
+            gapMinutes * 60L, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("total_value"))
+  }
+
+  /** Stateful streaming 1: exactly-once event dedup by key over the stream
+    * (state-store backed), with a watermark bounding state size.
+    */
+  def streamingDedup(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val q = spark.readStream.schema(eventSchema).parquet(dir)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  /** Stateful streaming 2: custom per-key running totals via
+    * mapGroupsWithState — the KeyValueGroupedDataset state-machine shape
+    * for logic built-in aggregations can't express.
+    */
+  def runningUserTotals(spark: SparkSession, dir: String, name: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val updates = spark.readStream.schema(eventSchema).parquet(dir)
+      .selectExpr("user_id", "value")
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[Double]) => {
+          val total = state.getOption.getOrElse(0.0) + rows.map(_._2).sum
+          state.update(total)
+          (user, total)
+        })
+      .toDF("user_id", "total")
+    val q = updates.writeStream.outputMode("update")
+      .format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
 }

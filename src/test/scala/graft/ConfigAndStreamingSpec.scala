@@ -65,12 +65,55 @@ class ConfigLoaderSpec extends AnyFunSuite {
 class StreamingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
-  test("streaming windowed agg equals its batch twin on the events table") {
-    val dir = "/root/testdata/sf0.001"
+  private lazy val eventsDir: String = {
     // streaming readStream needs a directory of parquet part-files
     val tmp = java.nio.file.Files.createTempDirectory("events").toString
-    spark.read.parquet(s"$dir/events.parquet").repartition(3)
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet").repartition(3)
       .write.mode("overwrite").parquet(tmp)
+    tmp
+  }
+
+  test("stateful streaming dedup equals batch distinct counts") {
+    import org.apache.spark.sql.functions._
+    val streamed = EventStream.streamingDedup(spark, eventsDir, "dedup_test")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = spark.read.parquet(eventsDir).dropDuplicates("event_id")
+      .groupBy(col("event_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+  }
+
+  test("mapGroupsWithState running totals converge to batch sums") {
+    import org.apache.spark.sql.functions._
+    val updates = EventStream.runningUserTotals(spark, eventsDir, "totals_test")
+    // last update per user == final running total (values positive)
+    val streamed = updates.groupBy(col("user_id"))
+      .agg(max(col("total")).as("total")).collect()
+      .map(r => r.getLong(0) -> math.round(r.getDouble(1) * 1e4)).toMap
+    val batch = spark.read.parquet(eventsDir).groupBy(col("user_id"))
+      .agg(sum(col("value")).as("total")).collect()
+      .map(r => r.getLong(0) -> math.round(r.getDouble(1) * 1e4)).toMap
+    assert(streamed == batch)
+  }
+
+  test("gap sessionization: session boundaries and aggregates") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      (1L, "2024-01-01 10:00:00", 7L, 1.0), (2L, "2024-01-01 10:10:00", 7L, 2.0),
+      (3L, "2024-01-01 11:30:00", 7L, 3.0), // >30 min gap => new session
+      (4L, "2024-01-01 10:05:00", 8L, 4.0)
+    ).toDF("event_id", "ts_s", "user_id", "value")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val s = EventStream.sessionize(rows).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(4), r.getDouble(5))).toMap
+    assert(s == Map((7L, 1L) -> ((2L, 3.0)), (7L, 2L) -> ((1L, 3.0)),
+      (8L, 1L) -> ((1L, 4.0))))
+  }
+
+  test("streaming windowed agg equals its batch twin on the events table") {
+    val tmp = eventsDir
     // cast win_start to string: memory-sink rows carry java.sql.Timestamp,
     // batch rows LocalDateTime — same instant, different toString
     import org.apache.spark.sql.functions.col

@@ -75,6 +75,37 @@ class RunnerSpec extends AnyFunSuite {
     assert(ids.size == 2)
   }
 
+  test("strict mode: empty results / NULL actual value raise " +
+    "(reference drivers/base.py:67-70)") {
+    val tmp = java.nio.file.Files.createTempDirectory("strict").toString
+    val store = new MetricsStore(s"$tmp/m")
+    val ts = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+    // sum over zero rows => NULL actual value => raise
+    val nullCfg = ConfigLoader.parseYaml(
+      """checks:
+        |  - {name: s, dataset: sales, type: sum, measure: amount,
+        |     condition: gt, threshold: 0, filter: "amount > 99999"}
+        |""".stripMargin)
+    val ex = intercept[IllegalStateException] {
+      Runner.run(nullCfg, spark, Map("sales" -> sales), store, "rS", ts)
+    }
+    assert(ex.getMessage.contains("s"))
+    // grouped check with zero groups => empty results => raise
+    val emptyCfg = ConfigLoader.parseYaml(
+      """checks:
+        |  - {name: g, dataset: sales, type: row_count, condition: gt,
+        |     threshold: 0, dimensions: [grp], filter: "grp = 'zzz'"}
+        |""".stripMargin)
+    val ex2 = intercept[IllegalStateException] {
+      Runner.run(emptyCfg, spark, Map("sales" -> sales), store, "rS", ts)
+    }
+    assert(ex2.getMessage.contains("Empty results"))
+    // non-strict mode records the fail verdict instead (NULL => fail)
+    val res = Runner.run(nullCfg, spark, Map("sales" -> sales), store, "rS2",
+      ts, strict = false)
+    assert(res.total == 1 && res.failures == 1)
+  }
+
   test("compile mode validates plans without executing") {
     val cfg = ConfigLoader.parseYaml(yaml)
     val plans = Runner.compile(cfg, spark, Map("sales" -> sales))
@@ -104,6 +135,25 @@ class RunnerSpec extends AnyFunSuite {
       SampleGenerator.historyWithSpike(spark, "chk", 100.0)).head()
     assert(!spiked.getAs[Boolean]("success"))
     assert(math.abs(spiked.getAs[Double]("z_score")) > 3.5)
+  }
+
+  test("incremental import: run_time watermark + insert-or-ignore " +
+    "(reference duckdb.py:174-268)") {
+    val tmp = java.nio.file.Files.createTempDirectory("imp").toString
+    val store = new MetricsStore(s"$tmp/m")
+    def rows(data: Seq[(String, Double, String)]) = data
+      .toDF("id", "actual_value", "rt")
+      .withColumn("run_time", col("rt").cast("timestamp")).drop("rt")
+      .withColumn("run_id", lit("rX")).withColumn("success", lit(true))
+    store.append(rows(Seq(("a", 1.0, "2024-01-02 00:00:00"))))
+    // older-than-watermark rows are skipped; duplicate ids are skipped;
+    // only the genuinely new row lands
+    val n = store.importIncremental(spark, rows(Seq(
+      ("old", 9.0, "2024-01-01 00:00:00"),   // behind watermark
+      ("a", 1.0, "2024-01-03 00:00:00"),     // would pass watermark but id exists
+      ("new", 2.0, "2024-01-03 00:00:00")))) // imported
+    assert(n == 1)
+    assert(store.read(spark).count() == 2)
   }
 
   test("latest-per-check semantic measure (metrics store)") {

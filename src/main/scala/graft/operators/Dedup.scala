@@ -109,6 +109,23 @@ object Dedup {
     * `maxBucketSize` caps degenerate buckets (all-identical spam) so the
     * candidate join cannot quadratically explode on skew.
     */
+  /** Candidate pairs per bucket WITHOUT a self-join: group each
+    * (band, bucket) into a member list and expand pairs in-expression.
+    * The self-join formulation recomputed the whole signature+banding
+    * pipeline for each side (6 exchanges, no exchange reuse) and needed a
+    * window pass for the skew cap; this is 2 exchanges total and the cap
+    * is a size() filter. Bucket membership is bounded by maxBucketSize,
+    * so the in-expression pair expansion is bounded too.
+    */
+  private def bucketPairs(buckets: DataFrame, maxBucketSize: Int): DataFrame =
+    buckets
+      .filter(size(col("ms")).between(2, maxBucketSize))
+      .select(explode(flatten(transform(
+        sequence(lit(0), size(col("ms")) - 2),
+        i => transform(sequence(i + 1, size(col("ms")) - 1),
+          j => struct(element_at(col("ms"), i + 1).as("a"),
+            element_at(col("ms"), j + 1).as("b")))))).as("p"))
+
   def minhashLshPairs(df: DataFrame, keyCol: String, textCol: String,
                       numHashes: Int = 64, bands: Int = 16,
                       jaccardThreshold: Double = 0.8,
@@ -120,20 +137,16 @@ object Dedup {
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(b, slice(col("signature"), b * rows + 1, lit(rows))
             .cast("string")))).as(Seq("band", "bucket")))
-    val capped = banded
-      .withColumn("bucket_n", count(lit(1)).over(
-        Window.partitionBy(col("band"), col("bucket"))))
-      .filter(col("bucket_n") <= maxBucketSize)
-    val l = capped.select(col("band"), col("bucket"),
-      col(keyCol).as("key_a"), col("signature").as("sig_a"))
-    val r = capped.select(col("band"), col("bucket"),
-      col(keyCol).as("key_b"), col("signature").as("sig_b"))
-    l.join(r, Seq("band", "bucket"))
-      .filter(col("key_a") < col("key_b"))
-      .select(col("key_a"), col("key_b"),
-        (size(filter(zip_with(col("sig_a"), col("sig_b"), (a, b) => a === b),
-          x => x)).cast(DoubleType) / lit(numHashes.toDouble))
-          .as("est_jaccard"))
+    val buckets = banded.groupBy(col("band"), col("bucket"))
+      .agg(collect_list(struct(col(keyCol).as("k"), col("signature").as("sig")))
+        .as("ms"))
+    bucketPairs(buckets, maxBucketSize)
+      .select(
+        least(col("p.a.k"), col("p.b.k")).as("key_a"),
+        greatest(col("p.a.k"), col("p.b.k")).as("key_b"),
+        (size(filter(zip_with(col("p.a.sig"), col("p.b.sig"),
+          (a, b) => a === b), x => x)).cast(DoubleType) /
+          lit(numHashes.toDouble)).as("est_jaccard"))
       .distinct()
       .filter(col("est_jaccard") >= jaccardThreshold)
   }
@@ -168,7 +181,8 @@ object Dedup {
     * join on (chunk index, chunk value), verify with bit_count(xor).
     */
   def simhashPairs(df: DataFrame, keyCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3,
+                   maxBucketSize: Int = 10000): DataFrame = {
     val chunks = maxHamming + 1
     val width = 64 / chunks
     val withSig = df.select(col(keyCol), simhash(col(textCol)).as("simhash"))
@@ -176,14 +190,14 @@ object Dedup {
       posexplode(transform(sequence(lit(0), lit(chunks - 1)),
         i => call_function("shiftright", col("simhash"), i * lit(width))
           .bitwiseAND(lit((1L << width) - 1)))).as(Seq("chunk_i", "chunk_v")))
-    val l = chunked.select(col("chunk_i"), col("chunk_v"),
-      col(keyCol).as("key_a"), col("simhash").as("sig_a"))
-    val r = chunked.select(col("chunk_i"), col("chunk_v"),
-      col(keyCol).as("key_b"), col("simhash").as("sig_b"))
-    l.join(r, Seq("chunk_i", "chunk_v"))
-      .filter(col("key_a") < col("key_b"))
-      .select(col("key_a"), col("key_b"),
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+    val buckets = chunked.groupBy(col("chunk_i"), col("chunk_v"))
+      .agg(collect_list(struct(col(keyCol).as("k"), col("simhash").as("sig")))
+        .as("ms"))
+    bucketPairs(buckets, maxBucketSize)
+      .select(
+        least(col("p.a.k"), col("p.b.k")).as("key_a"),
+        greatest(col("p.a.k"), col("p.b.k")).as("key_b"),
+        bit_count(col("p.a.sig").bitwiseXOR(col("p.b.sig"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

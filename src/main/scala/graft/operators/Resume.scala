@@ -35,7 +35,8 @@ object Resume {
     */
   def runBucketed(spark: SparkSession, pages: DataFrame, outDir: String,
                   metricsDir: String, runId: String,
-                  buckets: Int = 8, failAfter: Int = Int.MaxValue): (Int, Int) = {
+                  buckets: Int = 8, failAfter: Int = Int.MaxValue,
+                  rules: Seq[RowRule] = QualityFilter.defaultRules): (Int, Int) = {
     val store = new MetricsStore(metricsDir)
     val runTime = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
     var ran = 0
@@ -47,12 +48,12 @@ object Resume {
         if (ran >= failAfter)
           throw new RuntimeException(s"injected failure before bucket $b")
         val part = withBucket.filter(col("__bucket") === b).drop("__bucket")
-        val verdicts = QualityFilter.run(part)
+        val verdicts = QualityFilter.run(part, rules)
         verdicts.write.mode(SaveMode.Overwrite)
           .parquet(s"$outDir/bucket=$b")
         val metrics = QualityFilter.partitionMetrics(
           spark.read.parquet(s"$outDir/bucket=$b"),
-          QualityFilter.defaultRules, runId, runTime)
+          rules, runId, runTime)
           // metric identity must be stable across restarts: key on bucket,
           // not on the ephemeral partition id
           .withColumn("id", sha2(concat(col("check_id"), lit(b.toString)), 256))

@@ -127,14 +127,25 @@ object Similarity {
     * recovers most boundary misses deterministically.
     */
   def cosinePairs(df: DataFrame, keyCol: String, vecCol: String,
-                  threshold: Double, bits: Int = 6): DataFrame = {
+                  threshold: Double, bits: Int = 6,
+                  maxBucketSize: Int = 10000): DataFrame = {
+    // collect-per-bucket + in-expression pair expansion: one shuffle, no
+    // self-join recompute of the bucketing (cf. Dedup.bucketPairs)
     val withB = df.select(col(keyCol), col(vecCol).as("v"))
       .withColumn("bucket", lshBucket(col("v"), bits))
-    val l = withB.select(col("bucket"), col(keyCol).as("key_a"), col("v").as("va"))
-    val r = withB.select(col("bucket"), col(keyCol).as("key_b"), col("v").as("vb"))
-    l.join(r, Seq("bucket"))
-      .filter(col("key_a") < col("key_b"))
-      .select(col("key_a"), col("key_b"), cosine(col("va"), col("vb")).as("cosine"))
+    val buckets = withB.groupBy(col("bucket"))
+      .agg(collect_list(struct(col(keyCol).as("k"), col("v").as("vec"))).as("ms"))
+      .filter(size(col("ms")).between(2, maxBucketSize))
+    buckets
+      .select(explode(flatten(transform(
+        sequence(lit(0), size(col("ms")) - 2),
+        i => transform(sequence(i + 1, size(col("ms")) - 1),
+          j => struct(element_at(col("ms"), i + 1).as("a"),
+            element_at(col("ms"), j + 1).as("b")))))).as("p"))
+      .select(
+        least(col("p.a.k"), col("p.b.k")).as("key_a"),
+        greatest(col("p.a.k"), col("p.b.k")).as("key_b"),
+        cosine(col("p.a.vec"), col("p.b.vec")).as("cosine"))
       .filter(col("cosine") >= threshold)
       .distinct()
   }

@@ -287,7 +287,7 @@ object SparkEntry {
 
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(tp(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 8)),
+        maxHamming = 3)),
 
     "dedup_ngram_inverted" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(tp(s, dir, "documents"), "doc_id", "text",

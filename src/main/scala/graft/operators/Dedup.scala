@@ -180,9 +180,15 @@ object Dedup {
     * 16-bit-ish chunks — any pair within distance k agrees on >=1 chunk —
     * join on (chunk index, chunk value), verify with bit_count(xor).
     */
+  /** Note the chunk-width/selectivity tradeoff: pigeonhole needs
+    * maxHamming+1 chunks, so large maxHamming means narrow chunks and
+    * coarse buckets (maxHamming=8 -> 7-bit chunks -> 128 bucket values —
+    * degenerate at any scale). Keep maxHamming small (<=3) and let
+    * maxBucketSize bound the worst buckets.
+    */
   def simhashPairs(df: DataFrame, keyCol: String, textCol: String,
                    maxHamming: Int = 3,
-                   maxBucketSize: Int = 10000): DataFrame = {
+                   maxBucketSize: Int = 1000): DataFrame = {
     val chunks = maxHamming + 1
     val width = 64 / chunks
     val withSig = df.select(col(keyCol), simhash(col(textCol)).as("simhash"))

@@ -42,6 +42,28 @@ object Multimodal {
     h
   }
 
+  /** STUB — "resize": box-filter downsample of a feature vector to
+    * `outBins` cells, standing in for image resize. The arithmetic (mean
+    * pooling over equal spans) is the real resize kernel shape; only the
+    * pixel source behind it is fake.
+    */
+  def resizeStub(features: Array[Float], outBins: Int = 4): Array[Float] = {
+    if (features == null || features.isEmpty) return new Array[Float](outBins)
+    val out = new Array[Float](outBins)
+    val span = features.length.toDouble / outBins
+    var o = 0
+    while (o < outBins) {
+      val from = math.floor(o * span).toInt
+      val until = math.max(math.floor((o + 1) * span).toInt, from + 1)
+      var s = 0.0
+      var i = from
+      while (i < until && i < features.length) { s += features(i); i += 1 }
+      out(o) = (s / (until - from)).toFloat
+      o += 1
+    }
+    out
+  }
+
   /** STUB — "frame sampling" for video-shaped blobs: every `stride`-th
     * fixed-size block's first byte, standing in for key-frame extraction.
     */
@@ -62,16 +84,21 @@ object Multimodal {
       .add(StructField("media_format", StringType, nullable = false))
       .add(StructField("media_bytes", LongType, nullable = false))
       .add(StructField("media_features", ArrayType(FloatType), nullable = false))
+      .add(StructField("media_resized", ArrayType(FloatType), nullable = false))
+      .add(StructField("media_frames", ArrayType(IntegerType), nullable = false))
     val idx = df.schema.fieldIndex(binCol)
     df.mapPartitions { it =>
       // per-partition init point: a real codec would be constructed HERE,
       // once per task, not per row
       it.map { r =>
         val bytes = if (r.isNullAt(idx)) null else r.getAs[Array[Byte]](idx)
+        val features = decodeStub(bytes)
         Row.fromSeq(r.toSeq ++ Seq(
           sniffFormat(bytes),
           if (bytes == null) 0L else bytes.length.toLong,
-          decodeStub(bytes).toSeq))
+          features.toSeq,
+          resizeStub(features).toSeq,
+          frameSampleStub(bytes).toSeq))
       }
     }(Encoders.row(outSchema))
   }

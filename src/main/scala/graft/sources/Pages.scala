@@ -78,6 +78,21 @@ object Pages {
         .drop("rep"))
   }
 
+  /** Write pages with the production partition layout: daily partitions
+    * (the Iceberg `days(warc_ts)` transform expressed as a derived date
+    * column) plus a url-hash bucket column. Rule-only jobs filtered by
+    * crawl date then touch only matching directories — partition pruning
+    * is THE scan-cost lever at 10^12 documents (PlanSpec asserts the
+    * pruned plan).
+    */
+  def writePartitioned(pages: DataFrame, dir: String, urlBuckets: Int = 16): Unit =
+    pages
+      .withColumn("warc_date", to_date(col("warc_ts")))
+      .withColumn("url_bucket", pmod(xxhash64(col("url")), lit(urlBuckets)))
+      .write.mode("overwrite")
+      .partitionBy("warc_date", "url_bucket")
+      .parquet(dir)
+
   /** DuckDB SQL re-deriving the same pages table from documents, for
     * oracle queries (kept in one place so every oracle shares it).
     */

@@ -80,6 +80,48 @@ class PlanSpec extends AnyFunSuite {
       s"pipeline introduced a shuffle:\n${plan.take(2000)}")
   }
 
+  test("date-partitioned pages: crawl-date filters prune partitions") {
+    val tmp = java.nio.file.Files.createTempDirectory("ppages").toString
+    graft.sources.Pages.writePartitioned(
+      graft.sources.Pages.load(spark, dir), tmp, urlBuckets = 4)
+    val q = spark.read.parquet(tmp)
+      .filter(col("warc_date") === "2024-01-05")
+      .select(col("url"), length(col("text")))
+    val plan = planOf(q)
+    val pf = "PartitionFilters: \\[[^\\]]*\\]".r.findFirstIn(plan).getOrElse("")
+    assert(pf.contains("warc_date"), s"no partition filter pushed:\n$pf")
+    // the scan must read strictly fewer files than the full table
+    val allFiles = q.queryExecution.executedPlan.collectLeaves().map(_.toString)
+    assert(q.count() > 0)
+    val fullCount = spark.read.parquet(tmp).count()
+    assert(q.count() < fullCount)
+  }
+
+  test("bucketed tables join without a shuffle (co-located join)") {
+    val wh = java.nio.file.Files.createTempDirectory("warehouse").toString
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
+    val li = s2.read.parquet(s"$dir/lineitem.parquet")
+    val o = s2.read.parquet(s"$dir/orders.parquet")
+    li.write.mode("overwrite").bucketBy(4, "l_orderkey")
+      .sortBy("l_orderkey").option("path", s"$wh/li_b").saveAsTable("li_b")
+    o.write.mode("overwrite").bucketBy(4, "o_orderkey")
+      .sortBy("o_orderkey").option("path", s"$wh/o_b").saveAsTable("o_b")
+    val joined = s2.table("li_b").join(s2.table("o_b"),
+      col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority")).agg(sum(col("l_quantity")).as("q"))
+    val plan = joined.queryExecution.executedPlan.toString
+    // co-located: the join itself needs no Exchange (only the final
+    // aggregation shuffles)
+    val joinSection = plan.substring(0, plan.indexOf("FileScan"))
+    assert(plan.contains("SortMergeJoin"))
+    assert("Exchange hashpartitioning\\((l|o)_orderkey".r
+      .findFirstIn(plan).isEmpty,
+      s"bucketed join still shuffles on the join key:\n${plan.take(3000)}")
+    assert(joined.count() == 5)
+    s2.sql("DROP TABLE li_b"); s2.sql("DROP TABLE o_b")
+  }
+
   test("single-pass MAD aggregate matches the two-pass formulation") {
     import spark.implicits._
     val h = (1 to 9).map(i => ("en", i.toDouble,

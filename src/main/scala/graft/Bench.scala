@@ -61,8 +61,11 @@ object Bench {
   /** Scaling corpus: the pipeline job must be compute-bound to evidence
     * cluster-size scaling; 5k testdata docs can't feed 32 cores.
     */
+  // 1200 x 5k docs = 6M-page scaling corpus: long enough that fixed
+  // overhead is <10% of the local[32] run, short enough that the whole
+  // bench (headline + 3 interleaved scaling pairs + probe) stays ~5 min
   private val replication =
-    sys.env.getOrElse("SPARK_GRAFT_BENCH_REPLICATION", "2400").toInt
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_REPLICATION", "1200").toInt
 
   /** Pure-CPU scaling probe (FNV loop, no memory traffic): measures what
     * 8-vs-32 threads can deliver on this host RIGHT NOW. The sandbox is a

@@ -47,7 +47,7 @@ object LangId extends Serializable {
       "个 大的国家 在学校 中文和 学习的 他们的 我们在 是一个 有一个")
   )
 
-  val dim: Int = 1 << 14
+  val dim: Int = 1 << 12
 
   /** FNV-1a over the n-gram's UTF-16 code units — stable across JVMs. */
   private def fnv1a(s: CharSequence, from: Int, until: Int): Int = {

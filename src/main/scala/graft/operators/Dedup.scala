@@ -113,24 +113,84 @@ object Dedup {
     * (band, bucket) into a member list and expand pairs in-expression.
     * The self-join formulation recomputed the whole signature+banding
     * pipeline for each side (6 exchanges, no exchange reuse) and needed a
-    * window pass for the skew cap; this is 2 exchanges total and the cap
-    * is a size() filter. Bucket membership is bounded by maxBucketSize,
-    * so the in-expression pair expansion is bounded too.
+    * window pass for the skew cap; this is 2 exchanges total.
+    *
+    * NO SILENT CAPS: buckets over `maxBucketSize` are NOT dropped — they
+    * get STAR expansion (min-key hub linked to every other member,
+    * O(n) rows) instead of full pair expansion (O(n^2) rows). Every
+    * member of a hot bucket stays connected to its cluster; downstream
+    * verification still applies per emitted pair. Full expansion of a
+    * 10^6-copy spam cluster would be 5*10^11 pairs — exactly the data
+    * dedup exists to catch, and exactly what must not OOM the job.
     */
-  private def bucketPairs(buckets: DataFrame, maxBucketSize: Int): DataFrame =
+  private def bucketPairs(buckets: DataFrame, maxBucketSize: Int): DataFrame = {
+    // canonical member order (structs sort by first field = the key) so
+    // the same pair always emits as (min, max) and distinct() dedups
+    // across bands
+    val sorted = array_sort(col("ms"))
+    def full = flatten(transform(
+      sequence(lit(0), size(col("ms")) - 2),
+      i => transform(sequence(i + 1, size(col("ms")) - 1),
+        j => struct(element_at(sorted, i + 1).as("a"),
+          element_at(sorted, j + 1).as("b")))))
+    def star = transform(slice(sorted, lit(2), size(col("ms")) - 1),
+      m => struct(element_at(sorted, 1).as("a"), m.as("b")))
     buckets
-      .filter(size(col("ms")).between(2, maxBucketSize))
-      .select(explode(flatten(transform(
-        sequence(lit(0), size(col("ms")) - 2),
-        i => transform(sequence(i + 1, size(col("ms")) - 1),
-          j => struct(element_at(col("ms"), i + 1).as("a"),
-            element_at(col("ms"), j + 1).as("b")))))).as("p"))
+      .filter(size(col("ms")) >= 2)
+      .select(explode(when(size(col("ms")) <= maxBucketSize, full)
+        .otherwise(star)).as("p"))
+  }
 
-  def minhashLshPairs(df: DataFrame, keyCol: String, textCol: String,
-                      numHashes: Int = 64, bands: Int = 16,
-                      jaccardThreshold: Double = 0.8,
-                      shingleN: Int = 3,
-                      maxBucketSize: Int = 1000): DataFrame = {
+  /** Observability for the cap: (band, bucket, size, star_expanded) rows —
+    * run this next to a dedup job to see how many buckets exceeded
+    * maxBucketSize and were star- rather than full-expanded.
+    */
+  def lshBucketSizes(df: DataFrame, keyCol: String, textCol: String,
+                     numHashes: Int = 64, bands: Int = 16, shingleN: Int = 3,
+                     maxBucketSize: Int = 1000): DataFrame = {
+    val rows = numHashes / bands
+    val sigs = minhashSignatures(df, keyCol, textCol, numHashes, shingleN)
+    sigs.select(col(keyCol),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(b, slice(col("signature"), b * rows + 1, lit(rows))
+            .cast("string")))).as(Seq("band", "bucket")))
+      .groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("size"))
+      .withColumn("star_expanded", col("size") > maxBucketSize)
+  }
+
+  /** Pre-collapse exact duplicates: one REPRESENTATIVE row per distinct
+    * text (minimum key), plus member->representative LINK rows for every
+    * collapsed duplicate. A 10^6-copy spam cluster costs 10^6 link rows
+    * (not 5*10^11 pairs) and one representative in every downstream
+    * near-dup stage — this is what keeps LSH buckets small at 100 TB,
+    * because exact duplicates otherwise all land in identical buckets.
+    * Shuffles: one on the 16-byte fingerprint (agg) + one fingerprint
+    * join for the links; raw text never shuffles.
+    */
+  def collapseExact(df: DataFrame, keyCol: String, textCol: String)
+      : (DataFrame, DataFrame) = {
+    val withFp = df.select(col(keyCol), col(textCol),
+      md5(coalesce(col(textCol), lit(""))).as("fingerprint"))
+    val reps = withFp.groupBy(col("fingerprint"))
+      .agg(min(col(keyCol)).as(keyCol),
+        any_value(col(textCol)).as(textCol),
+        count(lit(1)).as("dup_count"))
+    val links = withFp.join(
+        reps.select(col("fingerprint"), col(keyCol).as("__rep")),
+        Seq("fingerprint"))
+      .filter(col(keyCol) =!= col("__rep"))
+      .select(col("__rep").as("key_a"), col(keyCol).as("key_b"))
+    (reps, links)
+  }
+
+  /** LSH candidate pairs with estimated Jaccard (signature overlap) —
+    * the shared engine behind [[minhashLshPairs]] (estimate-thresholded)
+    * and [[minhashLshDedup]] (exactly verified).
+    */
+  private def minhashCandidates(df: DataFrame, keyCol: String, textCol: String,
+                                numHashes: Int, bands: Int, shingleN: Int,
+                                maxBucketSize: Int): DataFrame = {
     val rows = numHashes / bands
     val sigs = minhashSignatures(df, keyCol, textCol, numHashes, shingleN)
     val banded = sigs.select(col(keyCol), col("signature"),
@@ -148,7 +208,48 @@ object Dedup {
           (a, b) => a === b), x => x)).cast(DoubleType) /
           lit(numHashes.toDouble)).as("est_jaccard"))
       .distinct()
+  }
+
+  def minhashLshPairs(df: DataFrame, keyCol: String, textCol: String,
+                      numHashes: Int = 64, bands: Int = 16,
+                      jaccardThreshold: Double = 0.8,
+                      shingleN: Int = 3,
+                      maxBucketSize: Int = 1000): DataFrame =
+    minhashCandidates(df, keyCol, textCol, numHashes, bands, shingleN,
+      maxBucketSize)
       .filter(col("est_jaccard") >= jaccardThreshold)
+
+  /** The production dedup shape: exact duplicates pre-collapsed (so spam
+    * clusters can't blow up LSH buckets), LSH proposes candidates among
+    * the distinct-text representatives, and every candidate is VERIFIED
+    * with the exact shingle Jaccard — LSH proposes, it never decides.
+    * Output rows:
+    *   - (rep_a, rep_b, exact jaccard)  near-dup pairs among representatives
+    *   - (rep, member, 1.0)             link rows for collapsed exact dupes
+    * Together these are the dup GRAPH (connected components = dup
+    * clusters) at O(links + near-pairs) rows — never O(cluster^2).
+    */
+  def minhashLshDedup(df: DataFrame, keyCol: String, textCol: String,
+                      numHashes: Int = 64, bands: Int = 16,
+                      jaccardThreshold: Double = 0.8,
+                      shingleN: Int = 3,
+                      maxBucketSize: Int = 1000): DataFrame = {
+    val (reps, links) = collapseExact(df, keyCol, textCol)
+    val cand = minhashCandidates(reps, keyCol, textCol, numHashes, bands,
+      shingleN, maxBucketSize).select("key_a", "key_b")
+    // exact verification: join candidates (a small table) back to the
+    // representatives' shingle sets — true Jaccard, not the estimate
+    val shs = reps.select(col(keyCol),
+      shingles(col(textCol), shingleN).as("shs"))
+    val inter = size(array_intersect(col("sa"), col("sb"))).cast(DoubleType)
+    val verified = cand
+      .join(shs.select(col(keyCol).as("key_a"), col("shs").as("sa")), Seq("key_a"))
+      .join(shs.select(col(keyCol).as("key_b"), col("shs").as("sb")), Seq("key_b"))
+      .withColumn("jaccard", inter /
+        (size(col("sa")) + size(col("sb")) - inter).cast(DoubleType))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("key_a"), col("key_b"), col("jaccard"))
+    verified.unionByName(links.withColumn("jaccard", lit(1.0)))
   }
 
   /** 64-bit SimHash over word unigrams. Per-row JVM loop (one pass over
@@ -206,6 +307,20 @@ object Dedup {
         bit_count(col("p.a.sig").bitwiseXOR(col("p.b.sig"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** SimHash dedup with exact-dup pre-collapse: pigeonhole candidate pairs
+    * among distinct-text representatives (EXACT — every pair within
+    * `maxHamming` shares at least one of maxHamming+1 chunks), plus link
+    * rows (hamming 0) for collapsed exact duplicates. Same dup-graph
+    * output contract as [[minhashLshDedup]].
+    */
+  def simhashDedup(df: DataFrame, keyCol: String, textCol: String,
+                   maxHamming: Int = 3,
+                   maxBucketSize: Int = 1000): DataFrame = {
+    val (reps, links) = collapseExact(df, keyCol, textCol)
+    simhashPairs(reps, keyCol, textCol, maxHamming, maxBucketSize)
+      .unionByName(links.withColumn("hamming", lit(0)))
   }
 
   /** Exact n-gram Jaccard near-dup pairs via an inverted-index join.

@@ -142,26 +142,33 @@ object QualityFilter {
         round(col("keep_count").cast(DoubleType) /
           col("doc_count").cast(DoubleType), 6))
 
-  /** Per-partition lineage metrics in the spirit of the reference's metric
-    * rows (weiser/checks/base.py:86-138): one row per (partition, rule)
-    * with fail counts, plus a `keep` summary row per partition. A single
-    * map-side-combinable aggregation — the shuffle moves only
-    * O(partitions × rules) rows regardless of corpus size.
+  /** Per-bucket lineage metrics in the spirit of the reference's metric
+    * rows (weiser/checks/base.py:86-138): one row per (url_bucket, rule)
+    * with fail counts, plus doc/pass/fail summary counts per bucket. A
+    * single map-side-combinable aggregation — the shuffle moves only
+    * O(buckets × rules) rows regardless of corpus size.
+    *
+    * The lineage key is the DETERMINISTIC url bucket (Pages.urlBucket) —
+    * a pure function of the row, NOT spark_partition_id(), so metric rows
+    * (and their dedup ids) are invariant under parallelism, repartitioning
+    * and restarts, and the DuckDB oracle can re-derive them.
     */
   def partitionMetrics(verdictDf: DataFrame, rules: Seq[RowRule],
-                       runId: String, runTime: java.sql.Timestamp): DataFrame = {
+                       runId: String, runTime: java.sql.Timestamp,
+                       buckets: Int = 32): DataFrame = {
     val perRule = rules.map(r =>
       sum(when(array_contains(col("fail_reasons"), r.name), 1L).otherwise(0L))
         .as(s"__f_${r.name}"))
     val base = verdictDf
-      .withColumn("partition_id", spark_partition_id())
-      .groupBy(col("partition_id"))
+      .withColumn("url_bucket",
+        graft.sources.Pages.urlBucket(col("url"), buckets))
+      .groupBy(col("url_bucket"))
       .agg(count(lit(1)).as("doc_count"),
         (sum(when(col("keep"), 1L).otherwise(0L)).as("pass_count") +: perRule): _*)
     val stackExpr = rules
       .map(r => s"'${r.name}', `__f_${r.name}`")
       .mkString(s"stack(${rules.size}, ", ", ", ")")
-    base.select(col("partition_id"), col("doc_count"), col("pass_count"),
+    base.select(col("url_bucket"), col("doc_count"), col("pass_count"),
         expr(stackExpr).as(Seq("name", "actual_value")))
       .withColumn("fail_count", col("doc_count") - col("pass_count"))
       .withColumn("success", col("actual_value") === 0)
@@ -169,9 +176,9 @@ object QualityFilter {
       .withColumn("run_id", lit(runId))
       .withColumn("run_time", lit(runTime))
       .withColumn("check_id",
-        sha2(concat(lit("pages"), col("name"), col("partition_id").cast(StringType)), 256))
+        sha2(concat(lit("pages"), col("name"), col("url_bucket").cast(StringType)), 256))
       .withColumn("id", sha2(concat(col("check_id"), col("run_id")), 256))
-      .select("id", "check_id", "name", "partition_id", "actual_value",
+      .select("id", "check_id", "name", "url_bucket", "actual_value",
         "doc_count", "pass_count", "fail_count", "success", "fail",
         "run_id", "run_time")
   }

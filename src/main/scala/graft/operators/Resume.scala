@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.sources.MetricsStore
+import graft.sources.{MetricsStore, Pages}
 
 /** Checkpoint-based resume for the quality-filter job.
   *
@@ -11,23 +11,46 @@ import graft.sources.MetricsStore
   * run restarts at the last committed snapshot (north rule). Sandbox shape
   * (no Iceberg jars): the corpus is split into `buckets` deterministic
   * url-hash buckets; each bucket is processed and written as one atomic
-  * parquet job (directory + _SUCCESS marker = the snapshot commit); on
-  * restart, committed buckets are skipped, and metric rows re-emitted for
-  * a re-run bucket are deduplicated by their deterministic id
-  * (MetricsStore.appendResumable) — the same watermark + INSERT OR IGNORE
-  * semantics as the reference's S3 re-import
-  * (weiser/drivers/metric_stores/duckdb.py:174-268).
+  * parquet job. The commit protocol has TWO markers per bucket:
+  *
+  *   1. `_SUCCESS`    — the verdict parquet job committed (written by Spark)
+  *   2. `_METRICS_OK` — the bucket's metric rows were appended to the store
+  *
+  * A crash between the two leaves a bucket with data committed but metrics
+  * missing; restart detects that state and re-appends ONLY the metrics
+  * (idempotent — MetricsStore.appendResumable dedups on the deterministic
+  * id), so no metric row is ever silently lost and no document is
+  * reprocessed. Same watermark + INSERT OR IGNORE semantics as the
+  * reference's S3 re-import (weiser/drivers/metric_stores/duckdb.py:174-268).
   *
   * Determinism requirement (SURVEY.md §7.4): bucket assignment is
-  * pmod(xxhash64(url), buckets) — a pure function of the row, so any
-  * parallelism level and any restart produces identical buckets.
+  * Pages.urlBucket — a pure md5-based function of the url, so any
+  * parallelism level, restart, or engine produces identical buckets, and
+  * metric check_ids (keyed on the same bucket inside
+  * QualityFilter.partitionMetrics) are stable across restarts.
+  *
+  * Scan economics: if the input DataFrame already carries a `url_bucket`
+  * column — i.e. it was read from the Pages.writePartitioned layout — the
+  * per-bucket filter is a PARTITION filter and each bucket job reads only
+  * its own files (asserted by PlanSpec). Without the layout the filter
+  * degrades to a full scan per bucket; at 10^12 documents always use the
+  * partitioned layout.
   */
 object Resume {
 
-  def bucketCol(buckets: Int) = pmod(xxhash64(col("url")), lit(buckets))
+  def bucketCol(buckets: Int) = Pages.urlBucket(col("url"), buckets)
 
   def committed(outDir: String, bucket: Int): Boolean =
     new java.io.File(s"$outDir/bucket=$bucket/_SUCCESS").exists()
+
+  def metricsCommitted(outDir: String, bucket: Int): Boolean =
+    new java.io.File(s"$outDir/bucket=$bucket/_METRICS_OK").exists()
+
+  private def markMetricsCommitted(outDir: String, bucket: Int): Unit = {
+    val f = new java.io.File(s"$outDir/bucket=$bucket/_METRICS_OK")
+    f.getParentFile.mkdirs()
+    f.createNewFile()
+  }
 
   /** Run the pipeline bucket-by-bucket; returns (bucketsRun, bucketsSkipped).
     * `failAfter` injects a crash after N bucket commits (for the kill/rerun
@@ -41,23 +64,33 @@ object Resume {
     val runTime = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
     var ran = 0
     var skipped = 0
-    val withBucket = pages.withColumn("__bucket", bucketCol(buckets))
+    // partition-pruned path when the url_bucket layout column exists
+    val withBucket =
+      if (pages.columns.contains("url_bucket")) pages
+      else pages.withColumn("url_bucket", bucketCol(buckets))
+
+    def appendBucketMetrics(b: Int): Unit = {
+      val metrics = QualityFilter.partitionMetrics(
+        spark.read.parquet(s"$outDir/bucket=$b"),
+        rules, runId, runTime, buckets)
+      store.appendResumable(spark, metrics)
+      markMetricsCommitted(outDir, b)
+    }
+
     (0 until buckets).foreach { b =>
-      if (committed(outDir, b)) { skipped += 1 }
-      else {
+      if (committed(outDir, b)) {
+        // data committed; heal a crash that hit between the parquet commit
+        // and the metrics append (idempotent by deterministic id)
+        if (!metricsCommitted(outDir, b)) appendBucketMetrics(b)
+        skipped += 1
+      } else {
         if (ran >= failAfter)
           throw new RuntimeException(s"injected failure before bucket $b")
-        val part = withBucket.filter(col("__bucket") === b).drop("__bucket")
+        val part = withBucket.filter(col("url_bucket") === b).drop("url_bucket")
         val verdicts = QualityFilter.run(part, rules)
         verdicts.write.mode(SaveMode.Overwrite)
           .parquet(s"$outDir/bucket=$b")
-        val metrics = QualityFilter.partitionMetrics(
-          spark.read.parquet(s"$outDir/bucket=$b"),
-          rules, runId, runTime)
-          // metric identity must be stable across restarts: key on bucket,
-          // not on the ephemeral partition id
-          .withColumn("id", sha2(concat(col("check_id"), lit(b.toString)), 256))
-        store.appendResumable(spark, metrics)
+        appendBucketMetrics(b)
         ran += 1
       }
     }

@@ -89,19 +89,29 @@ object ConfigLoader {
     datasources = a.datasources ++ b.datasources,
     includes = (a.includes ++ b.includes).distinct)
 
-  /** Load with recursive includes (visited-set guarded). */
+  /** Load with recursive includes. The visited set is threaded through the
+    * whole walk (siblings included) so diamond includes (A->B->D, A->C->D)
+    * load D exactly once — the reference loader shares one visited_path
+    * dict across the walk (config.py:80-98).
+    */
   def load(path: String, env: Map[String, String] = sys.env,
-           visited: Set[String] = Set.empty): BaseConfig = {
+           visited: Set[String] = Set.empty): BaseConfig =
+    loadAcc(path, env, visited)._1
+
+  private def loadAcc(path: String, env: Map[String, String],
+                      visited: Set[String]): (BaseConfig, Set[String]) = {
     val canonical = Paths.get(path).toAbsolutePath.normalize.toString
     if (visited.contains(canonical))
-      return BaseConfig()
+      return (BaseConfig(), visited)
     val raw = new String(Files.readAllBytes(Paths.get(canonical)), "UTF-8")
     val cfg = parseYaml(substituteEnv(raw, env))
-    cfg.includes.foldLeft(cfg) { (acc, inc) =>
-      val incPath =
-        if (Paths.get(inc).isAbsolute) inc
-        else Paths.get(canonical).getParent.resolve(inc).toString
-      merge(acc, load(incPath, env, visited + canonical))
+    cfg.includes.foldLeft((cfg, visited + canonical)) {
+      case ((acc, vis), inc) =>
+        val incPath =
+          if (Paths.get(inc).isAbsolute) inc
+          else Paths.get(canonical).getParent.resolve(inc).toString
+        val (sub, vis2) = loadAcc(incPath, env, vis)
+        (merge(acc, sub), vis2)
     }
   }
 }

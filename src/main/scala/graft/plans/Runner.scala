@@ -81,10 +81,12 @@ object Runner {
     anomalyChecks.foreach { c =>
       val metrics = store.read(spark)
       val z = AnomalyJob.run(c, metrics)
+      // keep AnomalyJob's per-dimension-mangled `name` (and its derived
+      // success/fail) so dimensioned anomaly checks emit distinct
+      // check_id/id per group — reference parity (base.py append_result
+      // mangles name per dim value and derives check_id from it)
       val rows = z.select(
-        lit(c.name).as("name"),
-        col("success"), !col("success").as("fail"),
-        col("actual_value"))
+        col("name"), col("success"), col("fail"), col("actual_value"))
         .withColumn("check_id", sha2(concat(lit(datasource), col("name"),
           lit(c.dataset.head)), 256))
         .withColumn("id", sha2(concat(col("check_id"), lit(runId)), 256))

@@ -23,23 +23,40 @@ class MetricsStore(val path: String) {
       new java.io.File(path).listFiles() != null &&
       new java.io.File(path).listFiles().nonEmpty
 
-  def read(spark: SparkSession): DataFrame = spark.read.parquet(path)
+  /** mergeSchema: the ledger accumulates files from different engine
+    * versions / dimensioned histories; reads must union their schemas
+    * (missing columns => NULL) — the reference's store migrates schemas
+    * the same way on import (migration_runner.py:16-59).
+    */
+  def read(spark: SparkSession): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
 
   /** Plain append (new run_id — no dedup needed). */
   def append(df: DataFrame): Unit =
     df.write.mode(SaveMode.Append).partitionBy("run_id").parquet(path)
 
-  /** Idempotent append: drop rows whose id is already committed. The
-    * broadcast anti-join keeps this shuffle-free on the big side.
+  /** Idempotent append: drop rows whose id is already committed. A row's
+    * id embeds its run_id, so only the incoming run_ids' store PARTITIONS
+    * can contain colliding ids — the anti-join reads just those (run_id is
+    * the partition column; the isin filter is a partition filter). This
+    * bounds the broadcast at O(rows per run) forever, instead of shipping
+    * every id ever written (which grows without bound across runs).
     */
   def appendResumable(spark: SparkSession, df: DataFrame): Long = {
+    val cached = df.cache()
     val fresh =
-      if (!exists(spark)) df
-      else df.join(broadcast(read(spark).select("id")), Seq("id"), "left_anti")
-    val n = fresh.cache().count()
+      if (!exists(spark)) cached
+      else {
+        val runIds = cached.select("run_id").distinct()
+          .collect().map(_.getString(0)).toSeq
+        val existing = read(spark)
+          .filter(col("run_id").isin(runIds: _*)).select("id")
+        cached.join(broadcast(existing), Seq("id"), "left_anti")
+      }
+    val n = fresh.count()
     if (n > 0)
       fresh.write.mode(SaveMode.Append).partitionBy("run_id").parquet(path)
-    fresh.unpersist()
+    cached.unpersist()
     n
   }
 
@@ -53,8 +70,17 @@ class MetricsStore(val path: String) {
     val candidate =
       if (!exists(spark)) external
       else {
+        // self-healing schema: store columns missing from the dump are
+        // added as typed NULLs (the reference adds missing columns with
+        // defaults on S3 re-import, duckdb.py:270-366); extra dump columns
+        // merge on read via mergeSchema
+        val have = external.columns.toSet
+        val aligned = read(spark).schema.fields
+          .filterNot(f => have.contains(f.name))
+          .foldLeft(external)((df, f) =>
+            df.withColumn(f.name, lit(null).cast(f.dataType)))
         val wm = read(spark).agg(max(col("run_time"))).head().getTimestamp(0)
-        external.filter(col("run_time") > lit(wm))
+        aligned.filter(col("run_time") > lit(wm))
       }
     appendResumable(spark, candidate)
   }

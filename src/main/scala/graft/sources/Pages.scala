@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -17,6 +17,20 @@ import org.apache.spark.sql.types._
   * local[8]/local[32] runs see identical input.
   */
 object Pages {
+
+  /** Deterministic url bucket — THE lineage/layout/resume key. A pure
+    * function of the url (first 60 bits of md5, mod n), so bucket identity
+    * is invariant under parallelism, partitioning, restarts and engines:
+    * the DuckDB twin is `('0x' || substr(md5(url),1,15))::BIGINT % n`.
+    * md5 rather than xxhash64 because only md5 is bit-identical across
+    * engines; one md5 per row is noise next to per-doc scoring work.
+    */
+  def urlBucket(url: Column, n: Int): Column =
+    pmod(conv(substring(md5(url), 1, 15), 16, 10).cast(LongType), lit(n))
+
+  /** DuckDB twin of [[urlBucket]] for oracle SQL. */
+  def urlBucketSql(urlExpr: String, n: Int): String =
+    s"(('0x' || substr(md5($urlExpr), 1, 15))::BIGINT % $n)"
 
   val schema: StructType = StructType(Seq(
     StructField("url", StringType, nullable = false),
@@ -88,7 +102,7 @@ object Pages {
   def writePartitioned(pages: DataFrame, dir: String, urlBuckets: Int = 16): Unit =
     pages
       .withColumn("warc_date", to_date(col("warc_ts")))
-      .withColumn("url_bucket", pmod(xxhash64(col("url")), lit(urlBuckets)))
+      .withColumn("url_bucket", urlBucket(col("url"), urlBuckets))
       .write.mode("overwrite")
       .partitionBy("warc_date", "url_bucket")
       .parquet(dir)

@@ -54,6 +54,21 @@ class ConfigLoaderSpec extends AnyFunSuite {
     assert(cfg.checks.map(_.name) == Seq("a", "b"))
   }
 
+  test("diamond includes load each file exactly once") {
+    // a -> {b, c}; b -> d; c -> d : d's checks must appear ONCE
+    val tmp = java.nio.file.Files.createTempDirectory("cfgdiamond")
+    java.nio.file.Files.writeString(tmp.resolve("a.yaml"),
+      "checks:\n  - {name: a, dataset: t, type: row_count}\nincludes: [b.yaml, c.yaml]\n")
+    java.nio.file.Files.writeString(tmp.resolve("b.yaml"),
+      "checks:\n  - {name: b, dataset: t, type: row_count}\nincludes: [d.yaml]\n")
+    java.nio.file.Files.writeString(tmp.resolve("c.yaml"),
+      "checks:\n  - {name: c, dataset: t, type: row_count}\nincludes: [d.yaml]\n")
+    java.nio.file.Files.writeString(tmp.resolve("d.yaml"),
+      "checks:\n  - {name: d, dataset: t, type: row_count}\n")
+    val cfg = ConfigLoader.load(tmp.resolve("a.yaml").toString)
+    assert(cfg.checks.map(_.name).sorted == Seq("a", "b", "c", "d"))
+  }
+
   test("between threshold list must have exactly two elements") {
     assertThrows[IllegalArgumentException] {
       ConfigLoader.parseYaml(

@@ -58,6 +58,49 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("over-cap identical spam cluster is NOT silently dropped") {
+    // 50 extra exact copies of doc 0: with maxBucketSize=5 the old code
+    // silently emitted ZERO pairs for the hottest cluster — exactly the
+    // spam dedup exists to catch
+    val spam = (0L until 50L).map(i => (100L + i, base)).toDF("doc_id", "text")
+    val mixed = docs.unionByName(spam)
+    val out = Dedup.minhashLshDedup(mixed, "doc_id", "text",
+      jaccardThreshold = 0.5, maxBucketSize = 5).collect()
+    val byPair = out.map(r =>
+      (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
+    // every spam member links to the cluster representative (doc 0)
+    (100L until 150L).foreach(k => assert(byPair((0L, k)) == 1.0,
+      s"member $k missing from dup graph"))
+    assert(byPair((0L, 1L)) == 1.0)             // original exact dup
+    assert(byPair.contains((0L, 2L)))           // near dup survives collapse
+    assert(byPair((0L, 2L)) > 0.8 && byPair((0L, 2L)) < 1.0) // EXACT jaccard
+    assert(!byPair.keys.exists { case (a, b) => a == 3L || b == 3L })
+    // link rows are O(cluster), not O(cluster^2)
+    assert(out.length < 60)
+  }
+
+  test("simhash dedup: pre-collapse links + exact pigeonhole pairs") {
+    val spam = (0L until 20L).map(i => (100L + i, base)).toDF("doc_id", "text")
+    val mixed = docs.unionByName(spam)
+    val out = Dedup.simhashDedup(mixed, "doc_id", "text", maxHamming = 8,
+      maxBucketSize = 5).collect()
+    val byPair = out.map(r =>
+      (r.getLong(0), r.getLong(1)) -> r.getAs[Int]("hamming")).toMap
+    (100L until 120L).foreach(k => assert(byPair((0L, k)) == 0))
+    assert(byPair((0L, 1L)) == 0)
+    assert(byPair.contains((0L, 2L)) && byPair((0L, 2L)) <= 8)
+    assert(!byPair.keys.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("star expansion keeps over-cap buckets connected in raw pairs API") {
+    // identical docs, no pre-collapse, tiny cap: star links survive
+    val spam = (0L until 12L).map(i => (i, base)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(spam, "doc_id", "text",
+      jaccardThreshold = 0.5, maxBucketSize = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    (1L until 12L).foreach(k => assert(pairs.contains((0L, k))))
+  }
+
   test("ngram jaccard inverted-index pairs match brute-force jaccard") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
       n = 3, threshold = 0.5).collect()

@@ -63,20 +63,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(result(2) == result(7))
   }
 
-  test("partition metrics: fail counts add up per rule") {
+  test("partition metrics: fail counts add up per rule, keyed on url bucket") {
     val pages = mkPages(Seq(
       ("u1", goodText, "en"), ("u2", "", "en"), ("u3", "", "en")))
-      .repartition(1)
+    val ts = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
     val v = QualityFilter.run(pages)
     val m = QualityFilter.partitionMetrics(v, QualityFilter.defaultRules,
-      "r1", java.sql.Timestamp.valueOf("2024-06-01 00:00:00"))
-      .collect()
+      "r1", ts).collect()
     val byRule = m.groupBy(_.getAs[String]("name"))
       .view.mapValues(_.map(_.getAs[Long]("actual_value")).sum).toMap
     assert(byRule("min_doc_length") == 2)
-    assert(m.forall(_.getAs[Long]("doc_count") == 3))
+    // per-bucket doc counts sum to the corpus size for each rule
+    val perRuleDocs = m.groupBy(_.getAs[String]("name"))
+      .view.mapValues(_.map(_.getAs[Long]("doc_count")).sum).toMap
+    assert(perRuleDocs.values.forall(_ == 3))
     assert(m.forall(r => r.getAs[Long]("pass_count") +
-      r.getAs[Long]("fail_count") == 3))
+      r.getAs[Long]("fail_count") == r.getAs[Long]("doc_count")))
+    // DETERMINISM: metric rows (incl. check_id/id) are invariant under
+    // parallelism — the lineage key is a pure function of the url, not
+    // spark_partition_id
+    val m1 = QualityFilter.partitionMetrics(
+      QualityFilter.run(pages.repartition(1)),
+      QualityFilter.defaultRules, "r1", ts)
+      .collect().map(_.toString).sorted
+    val m7 = QualityFilter.partitionMetrics(
+      QualityFilter.run(pages.repartition(7)),
+      QualityFilter.defaultRules, "r1", ts)
+      .collect().map(_.toString).sorted
+    assert(m1.sameElements(m7))
   }
 
   test("resume: injected kill, rerun skips committed buckets, no dup metrics") {
@@ -108,6 +122,31 @@ class PipelineSpec extends AnyFunSuite {
     // re-running everything again appends nothing new
     val again = Resume.runBucketed(spark, pages, out, mdir, "runA", buckets = 8)
     assert(again == ((0, 8)))
+  }
+
+  test("resume heals a crash between data commit and metrics append") {
+    val tmp = java.nio.file.Files.createTempDirectory("resumeheal").toString
+    val out = s"$tmp/verdicts"
+    val mdir = s"$tmp/metrics"
+    val pages = Pages.load(spark, "/root/testdata/sf0.001")
+    val buckets = 4
+    // simulate the crash window: bucket 0's verdict parquet committed
+    // (_SUCCESS exists) but the run died before its metrics were appended
+    val b0 = pages.withColumn("url_bucket", Resume.bucketCol(buckets))
+      .filter(col("url_bucket") === 0).drop("url_bucket")
+    QualityFilter.run(b0).write.parquet(s"$out/bucket=0")
+    assert(Resume.committed(out, 0) && !Resume.metricsCommitted(out, 0))
+    val (ran, skipped) =
+      Resume.runBucketed(spark, pages, out, mdir, "runH", buckets)
+    assert(ran == 3 && skipped == 1)
+    // the healed bucket's metric rows are present, not silently lost
+    val m = new MetricsStore(mdir).read(spark)
+    assert(m.filter(col("url_bucket") === 0).count() > 0)
+    assert(Resume.metricsCommitted(out, 0))
+    // all 4 buckets' lineage rows exist exactly once
+    val ids = m.select("id").collect().map(_.getString(0))
+    assert(ids.length == ids.distinct.length)
+    assert(m.select("url_bucket").distinct().count() == buckets)
   }
 
   test("skewed hosts: two-stage salted aggregation equals direct groupBy") {

@@ -97,6 +97,43 @@ class PlanSpec extends AnyFunSuite {
     assert(q.count() < fullCount)
   }
 
+  test("resume bucket jobs prune to their url_bucket partition files") {
+    val tmp = java.nio.file.Files.createTempDirectory("rbuckets").toString
+    val buckets = 4
+    graft.sources.Pages.writePartitioned(
+      graft.sources.Pages.load(spark, dir), tmp, urlBuckets = buckets)
+    val layout = spark.read.parquet(tmp)
+    // the per-bucket filter Resume.runBucketed issues on the layout
+    val bucketJob = layout.filter(col("url_bucket") === 0)
+      .select(col("url"), col("text"))
+    val plan = planOf(bucketJob)
+    val pf = "PartitionFilters: \\[[^\\]]*\\]".r.findFirstIn(plan).getOrElse("")
+    assert(pf.contains("url_bucket"),
+      s"bucket filter not a partition filter:\n$pf")
+    // the bucket scan touches strictly fewer files than the full table —
+    // i.e. resume is O(1 bucket) per bucket, not O(full corpus) per bucket
+    def filesRead(q: org.apache.spark.sql.DataFrame): Long = {
+      q.collect()
+      q.queryExecution.executedPlan.collectLeaves().map(_.metrics
+        .get("numFiles").map(_.value).getOrElse(0L)).sum
+    }
+    val bucketFiles = filesRead(bucketJob)
+    val allFiles = filesRead(layout.select(col("url"), col("text")))
+    assert(bucketFiles > 0 && bucketFiles < allFiles,
+      s"bucket scan reads $bucketFiles of $allFiles files")
+    // end-to-end: runBucketed over the layout produces the same verdicts
+    // as a direct run (and therefore read only pruned inputs per bucket)
+    val out = java.nio.file.Files.createTempDirectory("rbout").toString
+    graft.operators.Resume.runBucketed(spark, layout,
+      s"$out/v", s"$out/m", "runP", buckets)
+    val resumed = spark.read.parquet(s"$out/v").select("url", "keep")
+      .collect().map(_.toString).sorted.toSeq
+    val direct = graft.operators.QualityFilter.run(
+      graft.sources.Pages.load(spark, dir)).select("url", "keep")
+      .collect().map(_.toString).sorted.toSeq
+    assert(resumed == direct)
+  }
+
   test("bucketed tables join without a shuffle (co-located join)") {
     val wh = java.nio.file.Files.createTempDirectory("warehouse").toString
     val s2 = spark.newSession()

@@ -55,6 +55,39 @@ class RunnerSpec extends AnyFunSuite {
     assert(store.read(spark).count() == 3)
   }
 
+  test("anomaly check runs through Runner.run with per-dimension names") {
+    val tmp = java.nio.file.Files.createTempDirectory("runneranom").toString
+    val store = new MetricsStore(s"$tmp/metrics")
+    // seed 8 runs of history per group: grp a is flat (anomaly z=0 passes),
+    // grp b ramps hard (its last value is the outlier)
+    val hist = (1 to 8).flatMap { i =>
+      Seq(("a", 10.0 + (i % 2)), ("b", if (i == 8) 500.0 else 10.0 + i))
+        .map { case (g, v) =>
+          (s"h$g$i", "histsum", s"hist $g", v, true, false, s"seed$i",
+            java.sql.Timestamp.valueOf(f"2024-05-$i%02d 00:00:00"), g)
+        }
+    }.toDF("id", "check_id", "name", "actual_value", "success", "fail",
+      "run_id", "run_time", "grp")
+    store.append(hist)
+    val c = Check("vol anomaly", Seq("metrics"), CheckType.Anomaly,
+      condition = Condition.Between, threshold = Right((-3.5, 3.5)),
+      dimensions = Seq("grp"), checkId = Some("histsum"))
+    val res = Runner.run(BaseConfig(checks = Seq(c)), spark, Map.empty,
+      store, "runZ", java.sql.Timestamp.valueOf("2024-06-01 00:00:00"))
+    assert(res.total == 2)
+    val rows = store.read(spark).filter(col("run_id") === "runZ")
+      .select("name", "success").collect()
+      .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    // per-dimension mangled names (NOT one identical name per group) and
+    // per-group verdicts: flat group passes, ramping group fails
+    assert(rows == Map("vol anomaly_grp_a" -> true,
+      "vol anomaly_grp_b" -> false))
+    // distinct per-group ids: idempotent re-run appends nothing
+    Runner.run(BaseConfig(checks = Seq(c)), spark, Map.empty, store, "runZ",
+      java.sql.Timestamp.valueOf("2024-06-01 00:00:00"))
+    assert(store.read(spark).filter(col("run_id") === "runZ").count() == 2)
+  }
+
   test("multi-datasource fan-out: every check runs once per datasource") {
     val tmp = java.nio.file.Files.createTempDirectory("runall").toString
     val cfg = ConfigLoader.parseYaml(yaml)

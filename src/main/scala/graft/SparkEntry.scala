@@ -150,13 +150,16 @@ object SparkEntry {
       .agg(max_by(col("value"), col("event_id")).as("last_value"),
         max(col("event_id")).as("last_event_id"))),
 
-    // ordered history list (SURVEY §2.4 A12 / W2)
+    // ordered history list (SURVEY §2.4 A12 / W2). The list itself is the
+    // operator; it is emitted JOINED to a string because the driver's
+    // pandas comparator cannot sort ARRAY columns (round-1 `err`).
     "q_history_list" -> ((s, dir) => t(s, dir, "events")
       .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
       .agg(count(lit(1)).as("n"))
       .groupBy(col("event_type"))
-      .agg(transform(array_sort(collect_list(struct(col("d"), col("n")))),
-        x => x.getField("n")).as("history"))),
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("d"), col("n")))),
+        x => x.getField("n").cast(StringType)), "|").as("history"))),
 
     // ---- joins (SURVEY §2.3) ----
     "q_join_revenue" -> ((s, dir) => {
@@ -218,14 +221,21 @@ object SparkEntry {
     }),
 
     // ---- scalar functions (SURVEY §2.8 F1-F11) ----
+    // millennium/century/decade emitted as their YEAR (int): pre-1677
+    // timestamps silently overflow the driver harness's pandas
+    // datetime64[ns] on the parquet side (round-1 hash-fail artifact); the
+    // truncation logic is identical, only the emitted type changes
     "q_scalar_funcs" -> ((s, dir) => t(s, dir, "orders")
       .groupBy(col("o_orderpriority"))
       .agg(min(col("o_orderdate")).as("first_date"))
       .select(
         col("o_orderpriority"),
-        CheckCompiler.dateTrunc("millennium", col("first_date")).as("millennium"),
-        CheckCompiler.dateTrunc("century", col("first_date")).as("century"),
-        CheckCompiler.dateTrunc("decade", col("first_date")).as("decade"),
+        year(CheckCompiler.dateTrunc("millennium", col("first_date")))
+          .as("millennium_year"),
+        year(CheckCompiler.dateTrunc("century", col("first_date")))
+          .as("century_year"),
+        year(CheckCompiler.dateTrunc("decade", col("first_date")))
+          .as("decade_year"),
         CheckCompiler.dateTrunc("quarter", col("first_date")).as("quarter"),
         sha2(concat(lit("default"), col("o_orderpriority")), 256).as("check_id"),
         when(col("o_orderpriority") === "1-URGENT", "fail")
@@ -281,13 +291,24 @@ object SparkEntry {
             .as("jaccard"))
     }),
 
+    // dup GRAPH: exact-dup links (jaccard 1.0) + near-dup pairs among
+    // distinct-text representatives, LSH-proposed and EXACTLY verified
+    // (true shingle Jaccard >= 0.5) — so the DuckDB oracle can compute
+    // the identical set brute-force
     "dedup_minhash_lsh" -> ((s, dir) =>
-      Dedup.minhashLshPairs(tp(s, dir, "documents"), "doc_id", "text",
-        jaccardThreshold = 0.5)),
+      Dedup.minhashLshDedup(tp(s, dir, "documents"), "doc_id", "text",
+        jaccardThreshold = 0.5, maxBucketSize = 100000)
+        .select(col("key_a"), col("key_b"),
+          round(col("jaccard"), 6).as("jaccard"))),
 
+    // dup graph via simhash: links (hamming 0) + ALL representative pairs
+    // within hamming<=3 — pigeonhole candidates are exhaustive, so the
+    // oracle's brute-force FNV/simhash in SQL reproduces the exact set
     "dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashPairs(tp(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 3)),
+      Dedup.simhashDedup(tp(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 3, maxBucketSize = 100000)
+        .select(col("key_a"), col("key_b"),
+          col("hamming").cast(LongType).as("hamming"))),
 
     "dedup_ngram_inverted" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(tp(s, dir, "documents"), "doc_id", "text",
@@ -302,11 +323,13 @@ object SparkEntry {
         .select(col("vec_id"), round(col("score"), 6).as("score"))
     }),
 
+    // multi-probe sign-LSH top-k; hyperplanes are md5-derived so the
+    // DuckDB oracle re-derives identical buckets and probes
     "ann_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
-      Similarity.lshTopK(e, "vec_id", "embedding", q, 10, bits = 4)
+      Similarity.lshTopK(e, "vec_id", "embedding", q, 10, bits = 4, probes = 2)
         .select(col("vec_id"), round(col("score"), 6).as("score"))
     }),
 
@@ -325,15 +348,26 @@ object SparkEntry {
 
     "pipeline_verdict" -> ((s, dir) => {
       val v = QualityFilter.run(pagesP(s, dir), QualityFilter.heuristicRules)
-      v.select(col("url"), col("keep"), col("fail_reasons"),
+      // fail_reasons joined to a string: driver's comparator can't sort
+      // ARRAY columns (round-1 `err`); order is rule-declaration order on
+      // both sides, so the joined string is deterministic
+      v.select(col("url"), col("keep"),
+        array_join(col("fail_reasons"), "|").as("fail_reasons"),
         col("quality_score"))
     }),
 
-    // full pipeline incl. model measures + per-partition lineage (rows-only)
+    // verdict pipeline + per-url-bucket lineage metrics, fully oracled:
+    // the lineage key is the deterministic md5 url bucket, so DuckDB can
+    // re-derive every row incl. check_id (heuristic rule set — the model
+    // measures aren't SQL-expressible; their lineage is covered by
+    // PipelineSpec determinism tests + text_langid)
     "pipeline_full" -> ((s, dir) => {
-      val v = QualityFilter.run(pagesP(s, dir))
-      QualityFilter.partitionMetrics(v, QualityFilter.defaultRules,
+      val v = QualityFilter.run(pagesP(s, dir), QualityFilter.heuristicRules)
+      QualityFilter.partitionMetrics(v, QualityFilter.heuristicRules,
         runId, runTime)
+        .select(col("check_id"), col("name"), col("url_bucket"),
+          col("actual_value"), col("doc_count"), col("pass_count"),
+          col("fail_count"), col("success"), col("fail"))
     }),
 
     // ---- multimodal binary-column handling ----
@@ -342,7 +376,8 @@ object SparkEntry {
       QualityFilter.hostStats(
         QualityFilter.run(pagesP(s, dir), QualityFilter.heuristicRules))),
 
-    // IVF-bucketed ANN (rows-only: centroid sample not SQL-expressible)
+    // IVF-bucketed ANN; centroids are an md5-strided sample, so the
+    // DuckDB oracle selects identical centroids/cells
     "ann_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") === 0)
@@ -358,7 +393,11 @@ object SparkEntry {
       Multimodal.withMediaFeatures(pagesP(s, dir)
         .select(col("url"), col("html")), "html")
         .select(col("url"), col("media_format"), col("media_bytes"),
-          col("media_features")))
+          // feature vector joined to a string: the driver's comparator
+          // can't sort ARRAY columns (round-1 `err`)
+          array_join(transform(col("media_features"),
+            x => round(x.cast(DoubleType), 4).cast(StringType)), "|")
+            .as("media_features")))
   )
 
   // ------------------------------------------------------------- oracleSql
@@ -538,8 +577,8 @@ object SparkEntry {
       """WITH rows_ AS (
         |  SELECT count(*) > 3000 AS success FROM orders GROUP BY o_orderpriority)
         |SELECT count(*) AS total,
-        |  sum(CASE WHEN success THEN 1 ELSE 0 END) AS success_count,
-        |  sum(CASE WHEN NOT success THEN 1 ELSE 0 END) AS fail_count
+        |  sum(CASE WHEN success THEN 1 ELSE 0 END)::BIGINT AS success_count,
+        |  sum(CASE WHEN NOT success THEN 1 ELSE 0 END)::BIGINT AS fail_count
         |FROM rows_""".stripMargin,
 
     "q_latest_metric" ->
@@ -551,7 +590,8 @@ object SparkEntry {
       """WITH h AS (
         |  SELECT event_type, date_trunc('day', ts) AS d, count(*) AS n
         |  FROM events GROUP BY 1, 2)
-        |SELECT event_type, list(n ORDER BY d ASC) AS history
+        |SELECT event_type,
+        |  array_to_string(list(n ORDER BY d ASC), '|') AS history
         |FROM h GROUP BY event_type""".stripMargin,
 
     "q_join_revenue" ->
@@ -599,9 +639,9 @@ object SparkEntry {
       """WITH g AS (SELECT o_orderpriority, min(o_orderdate) AS first_date
         |           FROM orders GROUP BY 1)
         |SELECT o_orderpriority,
-        |  date_trunc('millennium', first_date)::TIMESTAMP AS millennium,
-        |  date_trunc('century', first_date)::TIMESTAMP AS century,
-        |  date_trunc('decade', first_date)::TIMESTAMP AS decade,
+        |  year(date_trunc('millennium', first_date))::INT AS millennium_year,
+        |  year(date_trunc('century', first_date))::INT AS century_year,
+        |  year(date_trunc('decade', first_date))::INT AS decade_year,
         |  date_trunc('quarter', first_date)::TIMESTAMP AS quarter,
         |  sha256('default' || o_orderpriority) AS check_id,
         |  CASE WHEN o_orderpriority = '1-URGENT' THEN 'fail'
@@ -682,6 +722,68 @@ object SparkEntry {
          |  AS jaccard
          |FROM d a JOIN d b ON b.doc_id = a.doc_id + 1""".stripMargin,
 
+    // dup graph = exact-dup links + exactly-verified near pairs among
+    // distinct-text representatives; brute-forced via an inverted index
+    // (any pair with jaccard >= 0.5 shares >= 1 shingle, so the inverted
+    // join loses nothing vs all-pairs)
+    "dedup_minhash_lsh" ->
+      s"""WITH fp AS (SELECT doc_id, coalesce(text, '') AS text,
+         |              md5(coalesce(text, '')) AS f FROM documents),
+         |g AS (SELECT f, min(doc_id) AS rep FROM fp GROUP BY f),
+         |links AS (SELECT g.rep AS key_a, fp.doc_id AS key_b,
+         |            1.0::DOUBLE AS jaccard
+         |          FROM fp JOIN g USING (f) WHERE fp.doc_id <> g.rep),
+         |reps AS (SELECT fp.doc_id, fp.text FROM fp JOIN g
+         |         ON fp.f = g.f AND fp.doc_id = g.rep),
+         |d AS (SELECT doc_id, $docShingles AS shs FROM reps),
+         |inv AS (SELECT doc_id, len(shs) AS n_sh, unnest(shs) AS sh FROM d),
+         |pairs AS (
+         |  SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+         |         a.n_sh AS na, b.n_sh AS nb, count(*) AS inter
+         |  FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT key_a, key_b,
+         |  round(inter::DOUBLE / (na + nb - inter)::DOUBLE, 6) AS jaccard
+         |FROM pairs WHERE inter::DOUBLE / (na + nb - inter)::DOUBLE >= 0.5
+         |UNION ALL SELECT * FROM links""".stripMargin,
+
+    // brute-force simhash in SQL: FNV-1a 64 over each word's UTF-16 units
+    // (HUGEINT arithmetic mod 2^64 reproduces JVM long wraparound exactly;
+    // the corpus is ASCII so unicode() == UTF-16 unit), majority-vote sign
+    // bits, then all-pairs hamming among representatives
+    "dedup_simhash" ->
+      s"""WITH fp AS (SELECT doc_id, coalesce(text, '') AS text,
+         |              md5(coalesce(text, '')) AS f FROM documents),
+         |g AS (SELECT f, min(doc_id) AS rep FROM fp GROUP BY f),
+         |links AS (SELECT g.rep AS key_a, fp.doc_id AS key_b,
+         |            0::BIGINT AS hamming
+         |          FROM fp JOIN g USING (f) WHERE fp.doc_id <> g.rep),
+         |reps AS (SELECT fp.doc_id, fp.text FROM fp JOIN g
+         |         ON fp.f = g.f AND fp.doc_id = g.rep),
+         |wrd AS (SELECT doc_id,
+         |        list_filter(string_split_regex(text, '\\s+'),
+         |                    x -> length(x) > 0) AS words FROM reps),
+         |hsh AS (SELECT doc_id, list_transform(words, wd ->
+         |        list_reduce(
+         |          list_prepend(14695981039346656037::HUGEINT,
+         |            list_transform(range(1, length(wd) + 1),
+         |                           i -> unicode(wd[i])::HUGEINT)),
+         |          (h, c) -> ((h - (h % 65536) +
+         |              xor((h % 65536)::BIGINT, c::BIGINT)::HUGEINT)
+         |            * 1099511628211::HUGEINT)
+         |            % 18446744073709551616::HUGEINT)) AS hs FROM wrd),
+         |sg AS (SELECT doc_id, list_transform(range(0, 64), b ->
+         |        CASE WHEN 2 * len(list_filter(hs,
+         |          x -> (x // (1::HUGEINT << b)) % 2 = 1)) > len(hs)
+         |        THEN 1 ELSE 0 END) AS bits FROM hsh),
+         |pairs AS (
+         |  SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+         |    len(list_filter(range(1, 65), i -> a.bits[i] <> b.bits[i]))::BIGINT
+         |      AS hamming
+         |  FROM sg a JOIN sg b ON a.doc_id < b.doc_id)
+         |SELECT key_a, key_b, hamming FROM pairs WHERE hamming <= 3
+         |UNION ALL SELECT * FROM links""".stripMargin,
+
     "ann_topk" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id,
@@ -692,6 +794,72 @@ object SparkEntry {
         |ORDER BY list_dot_product(embedding::DOUBLE[], qv) /
         |  (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
         |   sqrt(list_dot_product(qv, qv))) DESC, vec_id ASC
+        |LIMIT 10""".stripMargin,
+
+    // multi-probe sign-LSH re-derived in SQL: the +/-1 hyperplane matrix
+    // comes from md5("j,i") — identical to Similarity.planeSigns — then
+    // query bucket + 2 lowest-margin bit flips are probed
+    "ann_lsh" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        |dims AS (SELECT len(qv) AS nd FROM q),
+        |planes AS (
+        |  SELECT j, list_transform(range(0, nd), i ->
+        |    CASE WHEN ('0x' || substr(md5(j::VARCHAR || ',' || i::VARCHAR), 1, 15))::BIGINT % 2 = 0
+        |         THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END) AS pvec
+        |  FROM range(0, 4) t(j), dims),
+        |qd AS (SELECT j, list_dot_product(qv, pvec) AS d FROM planes, q),
+        |qb AS (SELECT sum(CASE WHEN d >= 0 THEN (1 << j) ELSE 0 END)::BIGINT AS b FROM qd),
+        |flips AS (SELECT j FROM qd ORDER BY abs(d) ASC, j ASC LIMIT 2),
+        |probes AS (SELECT b FROM qb
+        |           UNION ALL SELECT xor(qb.b, (1 << j)::BIGINT) FROM qb, flips),
+        |vb AS (SELECT vec_id,
+        |         sum(CASE WHEN list_dot_product(embedding::DOUBLE[], pvec) >= 0
+        |             THEN (1 << j) ELSE 0 END)::BIGINT AS b
+        |       FROM embeddings, planes GROUP BY vec_id)
+        |SELECT e.vec_id,
+        |  round(list_dot_product(e.embedding::DOUBLE[], qv) /
+        |    (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+        |     sqrt(list_dot_product(qv, qv))), 6) AS score
+        |FROM embeddings e JOIN vb USING (vec_id), q
+        |WHERE vb.b IN (SELECT b FROM probes)
+        |ORDER BY list_dot_product(e.embedding::DOUBLE[], qv) /
+        |  (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+        |   sqrt(list_dot_product(qv, qv))) DESC, e.vec_id ASC
+        |LIMIT 10""".stripMargin,
+
+    // IVF re-derived in SQL: centroids = 8 smallest md5(vec_id) rows in
+    // hash order (cell = rank), assignment = first max-cosine cell,
+    // probes = top-3 cells by query cosine — identical tie-breaks to
+    // Similarity.ivfIndex/ivfTopK
+    "ann_ivf" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        |c AS (SELECT
+        |        row_number() OVER (ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT ASC) - 1 AS cell,
+        |        embedding::DOUBLE[] AS cv
+        |      FROM embeddings
+        |      ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT ASC
+        |      LIMIT 8),
+        |probe AS (SELECT cell FROM c, q
+        |          ORDER BY list_dot_product(cv, qv) /
+        |            (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))) DESC,
+        |            cell ASC LIMIT 3),
+        |assign AS (
+        |  SELECT e.vec_id, c.cell,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_dot_product(e.embedding::DOUBLE[], cv) /
+        |        (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+        |         sqrt(list_dot_product(cv, cv))) DESC, c.cell ASC) AS rk
+        |  FROM embeddings e CROSS JOIN c),
+        |hits AS (SELECT vec_id FROM assign
+        |         WHERE rk = 1 AND cell IN (SELECT cell FROM probe))
+        |SELECT e.vec_id,
+        |  round(list_dot_product(e.embedding::DOUBLE[], qv) /
+        |    (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+        |     sqrt(list_dot_product(qv, qv))), 6) AS score
+        |FROM embeddings e JOIN hits USING (vec_id), q
+        |ORDER BY list_dot_product(e.embedding::DOUBLE[], qv) /
+        |  (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+        |   sqrt(list_dot_product(qv, qv))) DESC, e.vec_id ASC
         |LIMIT 10""".stripMargin,
 
     "emb_cosine_pairs" ->
@@ -715,16 +883,47 @@ object SparkEntry {
          |    '(?i)\\b(?:badword1|badword2|slur1)\\b', '<TOX>', 'g') AS scrubbed_text
          |FROM pages""".stripMargin,
 
-    "pipeline_verdict" -> pipelineVerdictSql,
+    "pipeline_verdict" ->
+      s"""WITH v AS ($pipelineVerdictSql)
+         |SELECT url, keep,
+         |  coalesce(array_to_string(fail_reasons, '|'), '') AS fail_reasons,
+         |  quality_score
+         |FROM v""".stripMargin,
 
     "pipeline_host_stats" ->
       s"""WITH v AS ($pipelineVerdictSql)
          |SELECT regexp_extract(url, 'https?://([^/]+)/', 1) AS host,
          |  count(*) AS doc_count,
-         |  sum(CASE WHEN keep THEN 1 ELSE 0 END) AS keep_count,
+         |  sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS keep_count,
          |  round(sum(CASE WHEN keep THEN 1 ELSE 0 END)::DOUBLE /
          |    count(*)::DOUBLE, 6) AS keep_rate
          |FROM v GROUP BY 1""".stripMargin,
+
+    // per-url-bucket lineage metrics: DuckDB re-derives the md5 bucket,
+    // per-rule fail counts from fail_reasons, and the sha256 check_id
+    "pipeline_full" -> {
+      val rules = QualityFilter.heuristicRules.map(_.name)
+      s"""WITH v AS ($pipelineVerdictSql),
+         |b AS (
+         |  SELECT ${Pages.urlBucketSql("url", 32)} AS url_bucket,
+         |    keep, fail_reasons FROM v),
+         |agg AS (
+         |  SELECT url_bucket, count(*) AS doc_count,
+         |    sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS pass_count,
+         |    ${rules.zipWithIndex.map { case (r, i) =>
+               s"sum(CASE WHEN list_contains(fail_reasons, '$r') THEN 1 ELSE 0 END)::BIGINT AS f$i"
+             }.mkString(",\n    ")}
+         |  FROM b GROUP BY 1),
+         |st AS (
+         |  ${rules.zipWithIndex.map { case (r, i) =>
+               s"SELECT url_bucket, doc_count, pass_count, '$r' AS name, f$i AS actual_value FROM agg"
+             }.mkString("\n  UNION ALL\n  ")})
+         |SELECT sha256('pages' || name || url_bucket::VARCHAR) AS check_id,
+         |  name, url_bucket, actual_value, doc_count,
+         |  pass_count, doc_count - pass_count AS fail_count,
+         |  actual_value = 0 AS success, actual_value <> 0 AS fail
+         |FROM st""".stripMargin
+    },
 
     "dedup_ngram_inverted" ->
       s"""WITH d AS (SELECT doc_id, $docShingles AS shs FROM documents),

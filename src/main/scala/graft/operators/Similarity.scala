@@ -39,38 +39,61 @@ object Similarity {
       .limit(k)
   }
 
-  /** Deterministic "random" hyperplane component for (plane j, dim i):
-    * a +/-1 derived from a 64-bit avalanche hash — sign-LSH needs only the
-    * sign, and +/-1 components make the signature reproducible everywhere.
+  /** Deterministic +/-1 hyperplane matrix for sign-LSH, derived from
+    * md5("j,i") per (plane, dim). md5 (not xxhash64) so the DuckDB oracle
+    * derives the IDENTICAL matrix; precomputed on the driver and embedded
+    * as array literals, so per-row work is one zip_with dot product per
+    * plane — no hash evaluation and no sequence() materialization per row.
     */
-  private def planeSign(j: Int, i: Column): Column =
-    when(pmod(xxhash64(lit(j), i), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))
-
-  /** Sign-LSH bucket id from the first `bits` hyperplanes. */
-  def lshBucket(vec: Column, bits: Int): Column = {
-    val bitCols = (0 until bits).map { j =>
-      val dot = aggregate(zip_with(vec,
-        sequence(lit(0), size(vec) - 1),
-        (x, i) => x.cast(DoubleType) * planeSign(j, i)), lit(0.0), _ + _)
-      when(dot >= 0, lit(1L << j)).otherwise(lit(0L))
+  def planeSigns(bits: Int, dims: Int): Array[Array[Double]] =
+    Array.tabulate(bits, dims) { (j, i) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$j,$i".getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString
+      if (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2 == 0) 1.0
+      else -1.0
     }
-    bitCols.reduce(_ + _)
-  }
 
-  /** ANN top-k for one query via LSH: score only rows in the query's
-    * bucket (fall back to brute force if the bucket is tiny is left to the
-    * caller — recall/cost is tunable with `bits`).
+  /** Sign-LSH bucket id from literal hyperplanes. */
+  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, j) =>
+      val pl = array(p.map(lit): _*)
+      val dot = aggregate(zip_with(vec, pl,
+        (x, s) => x.cast(DoubleType) * s), lit(0.0), _ + _)
+      when(dot >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Sign-LSH bucket id; `dims` is the embedding dimensionality. */
+  def lshBucket(vec: Column, bits: Int, dims: Int): Column =
+    lshBucket(vec, planeSigns(bits, dims))
+
+  /** ANN top-k for one query via QUERY-DIRECTED MULTI-PROBE sign-LSH:
+    * scan the query's bucket plus the `probes` buckets reached by flipping
+    * the lowest-margin hyperplane bits (the planes the query is closest
+    * to — where true neighbors most likely landed on the other side).
+    * Scan fraction ~ (1+probes)/2^bits of the corpus; recall grows with
+    * probes at the caller's chosen cost.
     */
   def lshTopK(df: DataFrame, keyCol: String, vecCol: String,
-              query: Seq[Double], k: Int, bits: Int = 8): DataFrame = {
-    // compute the query's bucket on the driver with the same plane hashes
-    val spark = df.sparkSession
-    import spark.implicits._
-    val qdf = Seq(query).toDF("v")
-    val qBucket = qdf.select(lshBucket(col("v"), bits)).head().getLong(0)
+              query: Seq[Double], k: Int, bits: Int = 4,
+              probes: Int = 2): DataFrame = {
+    val planes = planeSigns(bits, query.length)
+    // query bucket + per-plane margins on the driver — the same in-order
+    // arithmetic as the column expression, so buckets agree bit-for-bit
+    val dots = planes.map { p =>
+      var s = 0.0; var i = 0
+      while (i < p.length) { s += query(i) * p(i); i += 1 }
+      s
+    }
+    val qBucket = dots.zipWithIndex
+      .map { case (d, j) => if (d >= 0) 1L << j else 0L }.sum
+    val flips = dots.zipWithIndex
+      .sortBy { case (d, j) => (math.abs(d), j) }
+      .take(probes).map(_._2)
+    val probeBuckets = qBucket +: flips.map(j => qBucket ^ (1L << j))
     val q = array(query.map(lit): _*)
-    df.withColumn("bucket", lshBucket(col(vecCol), bits))
-      .filter(col("bucket") === lit(qBucket))
+    df.withColumn("bucket", lshBucket(col(vecCol), planes))
+      .filter(col("bucket").isin(probeBuckets: _*))
       .select(col(keyCol), cosine(col(vecCol), q).as("score"))
       .orderBy(col("score").desc, col(keyCol).asc)
       .limit(k)
@@ -85,9 +108,13 @@ object Similarity {
     */
   def ivfIndex(df: DataFrame, keyCol: String, vecCol: String,
                k: Int = 16): (DataFrame, Array[Array[Double]]) = {
-    // deterministic centroid sample: the k rows with smallest xxhash64(key)
+    // deterministic centroid sample: the k rows with the smallest
+    // md5-derived key hash — md5 (not xxhash64) so the DuckDB oracle
+    // selects the IDENTICAL centroids
+    val keyHash = conv(substring(md5(col(keyCol).cast(StringType)), 1, 15),
+      16, 10).cast(LongType)
     val centroids = df
-      .withColumn("__h", xxhash64(col(keyCol)))
+      .withColumn("__h", keyHash)
       .orderBy(col("__h")).limit(k)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
@@ -131,8 +158,9 @@ object Similarity {
                   maxBucketSize: Int = 10000): DataFrame = {
     // collect-per-bucket + in-expression pair expansion: one shuffle, no
     // self-join recompute of the bucketing (cf. Dedup.bucketPairs)
+    val dims = df.select(size(col(vecCol))).head().getInt(0)
     val withB = df.select(col(keyCol), col(vecCol).as("v"))
-      .withColumn("bucket", lshBucket(col("v"), bits))
+      .withColumn("bucket", lshBucket(col("v"), bits, dims))
     val buckets = withB.groupBy(col("bucket"))
       .agg(collect_list(struct(col(keyCol).as("k"), col("v").as("vec"))).as("ms"))
       .filter(size(col("ms")).between(2, maxBucketSize))

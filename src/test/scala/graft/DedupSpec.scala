@@ -174,8 +174,28 @@ class SimilaritySpec extends AnyFunSuite {
   }
 
   test("LSH buckets are deterministic across evaluations") {
-    val b1 = vecs.select(Similarity.lshBucket(col("embedding"), 6)).collect()
-    val b2 = vecs.select(Similarity.lshBucket(col("embedding"), 6)).collect()
+    val dims = vecs.select(size(col("embedding"))).head().getInt(0)
+    val b1 = vecs.select(Similarity.lshBucket(col("embedding"), 6, dims)).collect()
+    val b2 = vecs.select(Similarity.lshBucket(col("embedding"), 6, dims)).collect()
     assert(b1.map(_.getLong(0)).toSeq == b2.map(_.getLong(0)).toSeq)
+  }
+
+  test("multi-probe LSH recall beats single-bucket and reports honestly") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+    val brute = Similarity.bruteForceTopK(e, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    def recall(probes: Int): Double = {
+      val got = Similarity.lshTopK(e, "vec_id", "embedding", q, 10,
+        bits = 4, probes = probes).collect().map(_.getLong(0)).toSet
+      brute.intersect(got).size / 10.0
+    }
+    val r0 = recall(0)
+    val r2 = recall(2)
+    assert(r2 >= r0, s"multi-probe recall $r2 < single-bucket $r0")
+    // the query's own vector is always in its own bucket
+    assert(Similarity.lshTopK(e, "vec_id", "embedding", q, 10, 4, 0)
+      .collect().map(_.getLong(0)).contains(0L))
   }
 }

@@ -1,28 +1,39 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
-/** spark-submit entry point for the production quality-filter job:
+import graft.plans._
+import graft.sources.{MetricsStore, SampleGenerator}
+
+/** spark-submit entry point with the reference's CLI surface
+  * (weiser/main.py:32,83,112 — run / compile / sample) plus the flagship
+  * quality-filter job:
   *
-  *   spark-submit --class graft.Main <jar> \
-  *     <pagesParquetDir> <verdictOutDir> <metricsDir> <runId> [buckets] [configYaml]
+  *   graft.Main run     <configYaml> <tablesDir> <metricsDir> <runId>
+  *   graft.Main compile <configYaml> <tablesDir>
+  *   graft.Main sample  <configYaml> <metricsDir> <checkName> [runId]
+  *   graft.Main filter  <pagesDir> <outDir> <metricsDir> <runId>
+  *                      [buckets] [configYaml]
   *
-  * Runs the full pipeline (langid + perplexity + heuristic rules + scrub +
-  * verdict) bucket-by-bucket with checkpoint-resume: a killed run restarts
-  * at the last committed bucket and re-appended metric rows deduplicate on
-  * their deterministic ids (operators/Resume). Rules come from the YAML
-  * config's checks: block when given, else QualityFilter.defaultRules.
-  * In local testing, master/session settings come from the launcher; on a
-  * cluster spark-submit supplies them.
+  * `run` executes every check in the config against the parquet tables in
+  * <tablesDir> (table name = file basename), appends metric rows, prints
+  * the per-check results table and the failure report (reference
+  * export.py:94-128 / 15-91). `compile` validates and prints every check's
+  * analyzed plan without executing. `sample` seeds deterministic metric
+  * history for a named check (reference runner:52-116). `filter` runs the
+  * web-scale quality-filter pipeline bucket-by-bucket with
+  * checkpoint-resume (operators/Resume); rules come from the YAML config's
+  * checks: block when given, else QualityFilter.defaultRules.
+  *
+  * For backward compatibility, a first argument that is not a subcommand
+  * is treated as `filter`'s <pagesDir>.
   */
 object Main {
-  def main(args: Array[String]): Unit = {
-    require(args.length >= 4,
-      "usage: graft.Main <pagesDir> <outDir> <metricsDir> <runId> [buckets] [configYaml]")
-    val Array(pagesDir, outDir, metricsDir, runId) = args.take(4)
-    val buckets = if (args.length > 4) args(4).toInt else 64
+
+  private def session(name: String): SparkSession = {
     val builder = SparkSession.builder()
-      .appName(s"graft-quality-filter-$runId")
+      .appName(name)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
@@ -31,23 +42,103 @@ object Main {
     val spark = (if (sys.props.contains("spark.master")) builder
                  else builder.master("local[*]")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
 
-    val rules =
-      if (args.length > 5) {
-        val cfg = graft.plans.ConfigLoader.load(args(5))
-        val fromCfg = cfg.checks.map(graft.operators.RowRule.fromCheck)
-        require(fromCfg.nonEmpty, "config has no checks")
-        fromCfg
-      } else graft.operators.QualityFilter.defaultRules
-    graft.operators.Resume.runBucketed(spark,
-      spark.read.parquet(pagesDir), outDir, metricsDir, runId, buckets,
-      rules = rules)
+  private def loadTables(spark: SparkSession, dir: String): Map[String, DataFrame] = {
+    val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.endsWith(".parquet"))
+    files.map { f =>
+      val name = f.getName.stripSuffix(".parquet")
+      val df = spark.read.parquet(f.getPath)
+      df.createOrReplaceTempView(name)
+      name -> df
+    }.toMap
+  }
 
-    val summary = new graft.sources.MetricsStore(metricsDir)
-      .summary(spark, runId).head()
-    println(s"run $runId complete: total=${summary.getAs[Long]("total")} " +
-      s"success=${summary.getAs[Long]("success_count")} " +
-      s"fail=${summary.getAs[Long]("fail_count")}")
-    spark.stop()
+  def main(args: Array[String]): Unit = args.headOption match {
+    case Some("run") =>
+      require(args.length >= 5,
+        "usage: graft.Main run <configYaml> <tablesDir> <metricsDir> <runId>")
+      val Array(_, cfgPath, tablesDir, metricsDir, runId) = args.take(5)
+      val spark = session(s"graft-run-$runId")
+      val cfg = ConfigLoader.load(cfgPath)
+      val store = new MetricsStore(metricsDir)
+      val runTime = new java.sql.Timestamp(System.currentTimeMillis())
+      val res = Runner.run(cfg, spark, loadTables(spark, tablesDir), store,
+        runId, runTime)
+      println(Export.renderTable(
+        store.read(spark).filter(col("run_id") === runId), showIds = false))
+      val report = Export.exportResults(spark, store, runId, runTime,
+        sender = Some(Export.ConsoleSender))
+      println(s"run $runId complete: total=${res.total} " +
+        s"success=${res.successes} fail=${res.failures} " +
+        s"(reported ${report.failures.size} failure details)")
+      spark.stop()
+
+    case Some("compile") =>
+      require(args.length >= 3,
+        "usage: graft.Main compile <configYaml> <tablesDir>")
+      val spark = session("graft-compile")
+      val cfg = ConfigLoader.load(args(1))
+      val plans = Runner.compile(cfg, spark, loadTables(spark, args(2)))
+      plans.foreach(println)
+      println(s"compiled ${plans.size} checks OK")
+      spark.stop()
+
+    case Some("sample") =>
+      require(args.length >= 4,
+        "usage: graft.Main sample <configYaml> <metricsDir> <checkName> [runId]")
+      val spark = session("graft-sample")
+      val cfg = ConfigLoader.load(args(1))
+      val store = new MetricsStore(args(2))
+      val runId = if (args.length > 4) args(4) else "sample"
+      val check = cfg.checks.find(_.name == args(3)).getOrElse(
+        throw new IllegalArgumentException(s"no check named '${args(3)}'"))
+      val threshold = check.threshold match {
+        case Left(t)         => t
+        case Right((lo, hi)) => (lo + hi) / 2
+      }
+      val checkId = check.checkId.getOrElse(check.name)
+      val hist = SampleGenerator.history(spark, checkId, threshold)
+        .withColumn("name", lit(check.name))
+        .withColumn("success", lit(true))
+        .withColumn("fail", lit(false))
+        .withColumn("run_id", lit(runId))
+        .withColumn("id", sha2(concat(col("check_id"),
+          col("run_time").cast("string")), 256))
+      val n = store.appendResumable(spark, hist)
+      println(s"sample: seeded $n history rows for check '${check.name}' " +
+        s"(check_id $checkId)")
+      spark.stop()
+
+    case Some(first) =>
+      // `filter` subcommand, or legacy positional form (first arg = pagesDir)
+      val a = if (first == "filter") args.drop(1) else args
+      require(a.length >= 4,
+        "usage: graft.Main filter <pagesDir> <outDir> <metricsDir> <runId> " +
+          "[buckets] [configYaml]")
+      val Array(pagesDir, outDir, metricsDir, runId) = a.take(4)
+      val buckets = if (a.length > 4) a(4).toInt else 64
+      val spark = session(s"graft-quality-filter-$runId")
+      val rules =
+        if (a.length > 5) {
+          val cfg = ConfigLoader.load(a(5))
+          val fromCfg = cfg.checks.map(graft.operators.RowRule.fromCheck)
+          require(fromCfg.nonEmpty, "config has no checks")
+          fromCfg
+        } else graft.operators.QualityFilter.defaultRules
+      graft.operators.Resume.runBucketed(spark,
+        spark.read.parquet(pagesDir), outDir, metricsDir, runId, buckets,
+        rules = rules)
+      val summary = new MetricsStore(metricsDir)
+        .summary(spark, runId).head()
+      println(s"run $runId complete: total=${summary.getAs[Long]("total")} " +
+        s"success=${summary.getAs[Long]("success_count")} " +
+        s"fail=${summary.getAs[Long]("fail_count")}")
+      spark.stop()
+
+    case None =>
+      sys.error("usage: graft.Main run|compile|sample|filter ...")
   }
 }

@@ -128,9 +128,31 @@ object CheckCompiler {
     * reference metrics store schema
     * (weiser/drivers/metric_stores/duckdb.py:150-172, models.py:6-24).
     */
+  /** The canonical SQL the check compiles to — the reference stores the
+    * generated query text in every metric row (`sql` column,
+    * duckdb.py:150-172); here the same shape is reconstructed from the
+    * declarative check (the executed plan is the Catalyst equivalent).
+    */
+  def generatedSql(check: Check, dataset: String): String = {
+    val measure = check.checkType match {
+      case CheckType.RowCount => "count(*)"
+      case CheckType.Sum      => s"sum(${check.measure.getOrElse("")})"
+      case CheckType.Max      => s"max(${check.measure.getOrElse("")})"
+      case CheckType.Min      => s"min(${check.measure.getOrElse("")})"
+      case _                  => check.measure.getOrElse("count(*)")
+    }
+    val dims = check.dimensions ++ check.timeDimension.map(td =>
+      s"date_trunc('${td.granularity}', ${td.name})").toSeq
+    val where = check.filter.map(f => s" WHERE $f").getOrElse("")
+    val group = if (dims.isEmpty) "" else dims.mkString(" GROUP BY ", ", ", "")
+    val select = (dims :+ s"$measure AS actual_value").mkString(", ")
+    s"SELECT $select FROM $dataset$where$group"
+  }
+
   private def finalizeRecord(df: DataFrame, check: Check, datasource: String,
                              dataset: String, runId: String,
-                             runTime: java.sql.Timestamp): DataFrame = {
+                             runTime: java.sql.Timestamp,
+                             tenantId: Int = 1): DataFrame = {
     val (thr, thrList) = check.threshold match {
       case Left(t)          => (lit(t), lit(null).cast(ArrayType(DoubleType)))
       case Right((lo, hi))  => (lit(null).cast(DoubleType), array(lit(lo), lit(hi)))
@@ -145,6 +167,8 @@ object CheckCompiler {
       .withColumn("fail", !col("success"))
       .withColumn("run_id", lit(runId))
       .withColumn("run_time", lit(runTime))
+      .withColumn("sql", lit(generatedSql(check, dataset)))
+      .withColumn("tenant_id", lit(tenantId))
       // deterministic row identity (reference: hash(check_id+run_id+run_time)
       // % 2^31, models_duckdb.py:77-80) — sha256 here so resume can dedup
       // exactly (see MetricsStore.appendResumable)
@@ -152,7 +176,7 @@ object CheckCompiler {
         date_format(col("run_time"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")), 256))
       .select("id", "check_id", "name", "type", "condition", "threshold",
         "threshold_list", "dataset", "datasource", "actual_value",
-        "success", "fail", "run_id", "run_time")
+        "success", "fail", "run_id", "run_time", "sql", "tenant_id")
   }
 
   /** Run one check against one resolved dataset, producing metric rows.

@@ -101,9 +101,14 @@ object Runner {
         .withColumn("datasource", lit(datasource))
         .withColumn("run_id", lit(runId))
         .withColumn("run_time", lit(runTime))
+        // the history query the anomaly ran over (reference `sql` column)
+        .withColumn("sql", lit("SELECT actual_value FROM metrics WHERE " +
+          s"check_id LIKE '${c.checkId.getOrElse("")}%' " +
+          "ORDER BY run_time ASC LIMIT 10000"))
+        .withColumn("tenant_id", lit(1))
         .select("id", "check_id", "name", "type", "condition", "threshold",
           "threshold_list", "dataset", "datasource", "actual_value",
-          "success", "fail", "run_id", "run_time")
+          "success", "fail", "run_id", "run_time", "sql", "tenant_id")
       store.appendResumable(spark, rows)
     }
 

@@ -1,9 +1,8 @@
 package graft
 
-/** Drives graft.Main end-to-end like spark-submit would: writes a pages
-  * parquet, runs the job, kills it via env-free rerun semantics, checks
-  * output + summary. Kept as a runnable (not a suite) because Main owns
-  * its own SparkSession lifecycle.
+/** Drives graft.Main end-to-end like spark-submit would, covering all four
+  * subcommands (run / compile / sample / filter). Kept as a runnable (not
+  * a suite) because Main owns its own SparkSession lifecycle.
   */
 object MainSmoke {
   def main(args: Array[String]): Unit = {
@@ -12,14 +11,50 @@ object MainSmoke {
       .master("local[4]").config("spark.ui.enabled", "false").getOrCreate()
     graft.sources.Pages.load(prep, "/root/testdata/sf0.001")
       .write.parquet(s"$tmp/pages")
+    // a tables dir for the check-runner subcommands
+    prep.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .write.parquet(s"$tmp/tables/orders.parquet")
     prep.stop()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$tmp/checks.yaml"),
+      """checks:
+        |  - name: orders count
+        |    dataset: orders
+        |    type: row_count
+        |    condition: gt
+        |    threshold: 100
+        |  - name: impossible max
+        |    dataset: orders
+        |    type: max
+        |    measure: o_totalprice
+        |    condition: le
+        |    threshold: 1
+        |""".stripMargin)
+
+    // filter (legacy positional form)
     Main.main(Array(s"$tmp/pages", s"$tmp/out", s"$tmp/metrics", "smoke1", "4"))
+    // compile: validates plans, executes nothing
+    Main.main(Array("compile", s"$tmp/checks.yaml", s"$tmp/tables"))
+    // run: executes checks, prints table + failure report
+    Main.main(Array("run", s"$tmp/checks.yaml", s"$tmp/tables",
+      s"$tmp/checkmetrics", "smokerun"))
+    // sample: seeds deterministic history
+    Main.main(Array("sample", s"$tmp/checks.yaml", s"$tmp/checkmetrics",
+      "orders count"))
+
     val check = org.apache.spark.sql.SparkSession.builder()
       .master("local[4]").config("spark.ui.enabled", "false").getOrCreate()
     val n = check.read.parquet(s"$tmp/out").count()
     val m = check.read.parquet(s"$tmp/metrics").count()
-    println(s"MAINSMOKE verdicts=$n metrics=$m")
+    val cm = new graft.sources.MetricsStore(s"$tmp/checkmetrics").read(check)
+    val runRows = cm.filter(org.apache.spark.sql.functions
+      .col("run_id") === "smokerun").count()
+    val sampleRows = cm.filter(org.apache.spark.sql.functions
+      .col("run_id") === "sample").count()
+    println(s"MAINSMOKE verdicts=$n metrics=$m run=$runRows sample=$sampleRows")
     assert(n == 500 && m > 0)
+    assert(runRows == 2, s"expected 2 check rows, got $runRows")
+    assert(sampleRows == 31, s"expected 31 sample rows, got $sampleRows")
     check.stop()
   }
 }

@@ -55,6 +55,47 @@ class RunnerSpec extends AnyFunSuite {
     assert(store.read(spark).count() == 3)
   }
 
+  test("export: failure report, slack payload shape, printed table, " +
+    "sql/tenant_id columns") {
+    val tmp = java.nio.file.Files.createTempDirectory("export").toString
+    val cfg = ConfigLoader.parseYaml(yaml)
+    val store = new MetricsStore(s"$tmp/metrics")
+    val runTime = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+    Runner.run(cfg, spark, Map("sales" -> sales), store, "runE", runTime)
+    // metric rows carry the generated sql + tenant_id (reference
+    // duckdb.py:150-172 metrics schema)
+    val rows = store.read(spark).filter(col("run_id") === "runE")
+    val sqls = rows.select("name", "sql").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(sqls("sales count") ==
+      "SELECT count(*) AS actual_value FROM sales")
+    assert(sqls("amount sum by grp_grp_b") ==
+      "SELECT grp, sum(amount) AS actual_value FROM sales GROUP BY grp")
+    assert(rows.select("tenant_id").distinct().head().getInt(0) == 1)
+    // failure report: sum_b=5030 is out of [10, 1000] => 1 failure with
+    // name/datasource/actual/threshold (reference duckdb.py:497-528)
+    val report = Export.report(spark, store, "runE")
+    assert(report.total == 3 && report.passed == 2 && report.failed == 1)
+    val f = report.failures.head
+    assert(f.name == "amount sum by grp_grp_b" && f.datasource == "default")
+    assert(f.actualValue.contains(5030.0))
+    assert(f.threshold == "10.0,1000.0" && f.condition == "between")
+    // slack payload: header counts + one failure section with
+    // condition/threshold (reference export.py:44-78)
+    val payload = Export.slackPayload(report, runTime)
+    assert(payload.contains("\"blocks\":["))
+    assert(payload.contains("Total Checks: 3"))
+    assert(payload.contains("amount sum by grp_grp_b"))
+    assert(payload.contains("Condition: between"))
+    // payload is sendable through the transport seam
+    assert(Export.ConsoleSender.send(payload))
+    // printed table has a row per result with verdict marks
+    val table = Export.renderTable(rows, showIds = true)
+    assert(table.contains("Check Id") && table.contains("Check Name"))
+    assert(table.contains("sales count") && table.contains("✗")
+      && table.contains("✓"))
+  }
+
   test("anomaly check runs through Runner.run with per-dimension names") {
     val tmp = java.nio.file.Files.createTempDirectory("runneranom").toString
     val store = new MetricsStore(s"$tmp/metrics")

@@ -7,11 +7,84 @@ import org.apache.spark.sql.types._
 /** Multimodal column handling: image/audio/video as opaque `binary`
   * columns with typed metadata. The Spark-side plumbing — schema, batch
   * shape, partition-preserving mapPartitions, column pruning of the binary
-  * payload for metadata-only queries — is real; the actual media DECODE is
-  * stubbed behind `decodeStub` (no image/audio libs in this container),
-  * clearly marked and deterministic so tests are stable.
+  * payload for metadata-only queries — is real. PNG/JPEG decode, feature
+  * extraction (luminance histogram) and resize (pixel-space box filter)
+  * are REAL via the JDK's javax.imageio / java.awt.image — no external
+  * libs needed. Audio/video (riff) frame handling stays a clearly-marked
+  * deterministic stub (the JDK ships no video codec).
   */
 object Multimodal {
+
+  final case class ImageFeatures(width: Int, height: Int,
+                                 histogram: Array[Float])
+
+  /** REAL decode: PNG/JPEG bytes -> (width, height, 16-bin luminance
+    * histogram) through javax.imageio. Returns None for undecodable
+    * bytes — callers fall back to the byte-histogram stub.
+    */
+  def decodeImage(bytes: Array[Byte], bins: Int = 16): Option[ImageFeatures] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val h = new Array[Float](bins)
+        val w = img.getWidth
+        val ht = img.getHeight
+        var y = 0
+        while (y < ht) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val lum = 0.299 * ((rgb >> 16) & 0xff) +
+              0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+            h(math.min((lum * bins / 256.0).toInt, bins - 1)) += 1f
+            x += 1
+          }
+          y += 1
+        }
+        val n = (w * ht).toFloat
+        var j = 0
+        while (j < bins) { h(j) /= n; j += 1 }
+        Some(ImageFeatures(w, ht, h))
+      }
+    } catch { case _: Exception => None }
+
+  /** REAL resize for decoded images: pixel-space box filter down to a
+    * gridxgrid mean-luminance thumbnail (the standard downsample kernel).
+    */
+  def resizeImage(bytes: Array[Byte], grid: Int = 2): Option[Array[Float]] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val out = new Array[Float](grid * grid)
+        val counts = new Array[Int](grid * grid)
+        val w = img.getWidth
+        val ht = img.getHeight
+        var y = 0
+        while (y < ht) {
+          val gy = math.min(y * grid / ht, grid - 1)
+          var x = 0
+          while (x < w) {
+            val gx = math.min(x * grid / w, grid - 1)
+            val rgb = img.getRGB(x, y)
+            val lum = (0.299 * ((rgb >> 16) & 0xff) +
+              0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)) / 255.0
+            out(gy * grid + gx) += lum.toFloat
+            counts(gy * grid + gx) += 1
+            x += 1
+          }
+          y += 1
+        }
+        var j = 0
+        while (j < out.length) {
+          if (counts(j) > 0) out(j) /= counts(j); j += 1
+        }
+        Some(out)
+      }
+    } catch { case _: Exception => None }
 
   /** Magic-byte sniffing — real logic, no stub. */
   def sniffFormat(bytes: Array[Byte]): String = {
@@ -25,10 +98,9 @@ object Multimodal {
     else "unknown"
   }
 
-  /** STUB — deterministic fake decode: a 16-bin byte histogram standing in
-    * for pixel/sample features. A real deployment swaps this single
-    * function for an actual codec; everything around it (batching, schema,
-    * partitioning) is production plumbing.
+  /** STUB for NON-image payloads (html/riff/unknown): a deterministic
+    * 16-bin byte histogram standing in for sample features. PNG/JPEG take
+    * the real [[decodeImage]] path instead.
     */
   def decodeStub(bytes: Array[Byte], bins: Int = 16): Array[Float] = {
     val h = new Array[Float](bins)
@@ -83,6 +155,8 @@ object Multimodal {
     val outSchema = df.schema
       .add(StructField("media_format", StringType, nullable = false))
       .add(StructField("media_bytes", LongType, nullable = false))
+      .add(StructField("media_width", IntegerType, nullable = false))
+      .add(StructField("media_height", IntegerType, nullable = false))
       .add(StructField("media_features", ArrayType(FloatType), nullable = false))
       .add(StructField("media_resized", ArrayType(FloatType), nullable = false))
       .add(StructField("media_frames", ArrayType(IntegerType), nullable = false))
@@ -92,12 +166,20 @@ object Multimodal {
       // once per task, not per row
       it.map { r =>
         val bytes = if (r.isNullAt(idx)) null else r.getAs[Array[Byte]](idx)
-        val features = decodeStub(bytes)
+        val fmt = sniffFormat(bytes)
+        // REAL decode for images; deterministic stub features otherwise
+        val img =
+          if (fmt == "png" || fmt == "jpeg") decodeImage(bytes) else None
+        val features = img.map(_.histogram).getOrElse(decodeStub(bytes))
+        val resized = img.flatMap(_ => resizeImage(bytes))
+          .getOrElse(resizeStub(features))
         Row.fromSeq(r.toSeq ++ Seq(
-          sniffFormat(bytes),
+          fmt,
           if (bytes == null) 0L else bytes.length.toLong,
+          img.map(_.width).getOrElse(-1),
+          img.map(_.height).getOrElse(-1),
           features.toSeq,
-          resizeStub(features).toSeq,
+          resized.toSeq,
           frameSampleStub(bytes).toSeq))
       }
     }(Encoders.row(outSchema))

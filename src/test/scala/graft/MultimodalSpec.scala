@@ -25,7 +25,8 @@ class MultimodalSpec extends AnyFunSuite {
     ).toDF("key", "blob")
     val out = Multimodal.withMediaFeatures(rows, "blob")
     assert(out.columns.toSeq == Seq("key", "blob", "media_format",
-      "media_bytes", "media_features", "media_resized", "media_frames"))
+      "media_bytes", "media_width", "media_height", "media_features",
+      "media_resized", "media_frames"))
     val r = out.collect().map(x => x.getString(0) -> x).toMap
     assert(r("a").getAs[Long]("media_bytes") == 24)
     assert(r("a").getAs[String]("media_format") == "html")
@@ -38,6 +39,45 @@ class MultimodalSpec extends AnyFunSuite {
     def canon(df: org.apache.spark.sql.DataFrame) =
       df.drop("blob").collect().map(_.toString).sorted.toSeq
     assert(canon(Multimodal.withMediaFeatures(rows, "blob")) == canon(out))
+  }
+
+  test("real PNG decode via JDK ImageIO: dimensions, histogram, resize") {
+    // 8x4 PNG: left half black, right half white — rendered in-test
+    val img = new java.awt.image.BufferedImage(8, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 8)
+      img.setRGB(x, y, if (x < 4) 0x000000 else 0xffffff)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val png = baos.toByteArray
+    assert(Multimodal.sniffFormat(png) == "png")
+
+    val d = Multimodal.decodeImage(png).get
+    assert(d.width == 8 && d.height == 4)
+    // half the pixels in the darkest bin, half in the brightest
+    assert(d.histogram(0) == 0.5f && d.histogram(15) == 0.5f)
+
+    // pixel-space resize: 2x2 grid = (dark, bright, dark, bright)
+    val rz = Multimodal.resizeImage(png, grid = 2).get
+    assert(rz(0) == 0f && rz(2) == 0f)
+    assert(rz(1) > 0.99f && rz(3) > 0.99f)
+
+    // end-to-end through the Spark operator
+    val rows = Seq(("p", png)).toDF("key", "blob")
+    val r = Multimodal.withMediaFeatures(rows, "blob").head()
+    assert(r.getAs[String]("media_format") == "png")
+    assert(r.getAs[Int]("media_width") == 8)
+    assert(r.getAs[Int]("media_height") == 4)
+    assert(r.getAs[scala.collection.Seq[Float]]("media_features")(0) == 0.5f)
+  }
+
+  test("undecodable image bytes fall back to the stub path, no crash") {
+    val fakePng = Array[Byte](0x89.toByte, 'P', 'N', 'G', 1, 2, 3, 4)
+    val rows = Seq(("x", fakePng)).toDF("key", "blob")
+    val r = Multimodal.withMediaFeatures(rows, "blob").head()
+    assert(r.getAs[String]("media_format") == "png")
+    assert(r.getAs[Int]("media_width") == -1)
+    assert(r.getAs[scala.collection.Seq[Float]]("media_features").length == 16)
   }
 
   test("resize kernel: mean pooling over equal spans") {

@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // the pipeline allocates GBs/sec across 32 threads (text Strings are
+  // unavoidable for the regex engines); a small heap turns that into
+  // stop-the-world young GCs that cap 8->32 scaling. 24g + fixed Xms
+  // keeps G1's young gen large and the heap size constant.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  "-XX:+UseParallelGC",
 )

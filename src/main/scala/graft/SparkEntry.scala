@@ -295,9 +295,12 @@ object SparkEntry {
     // distinct-text representatives, LSH-proposed and EXACTLY verified
     // (true shingle Jaccard >= 0.5) — so the DuckDB oracle can compute
     // the identical set brute-force
+    // maxBucketSize 600 > the 500-doc oracle corpus, so the gate compares
+    // pure full-expansion output; bigger corpora (sf0.1 bench) star-expand
+    // hot buckets instead of quadratically exploding
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshDedup(tp(s, dir, "documents"), "doc_id", "text",
-        jaccardThreshold = 0.5, maxBucketSize = 100000)
+        jaccardThreshold = 0.5, maxBucketSize = 600)
         .select(col("key_a"), col("key_b"),
           round(col("jaccard"), 6).as("jaccard"))),
 
@@ -306,7 +309,7 @@ object SparkEntry {
     // oracle's brute-force FNV/simhash in SQL reproduces the exact set
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashDedup(tp(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 3, maxBucketSize = 100000)
+        maxHamming = 3, maxBucketSize = 600)
         .select(col("key_a"), col("key_b"),
           col("hamming").cast(LongType).as("hamming"))),
 

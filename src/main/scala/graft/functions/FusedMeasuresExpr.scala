@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static fused scorer called from generated code: ONE UTF8String->String
+  * conversion per document feeds every measure (text-stats vector, scrub,
+  * language id, perplexity). Mirror of ModelScores.withAllMeasures' island
+  * body, minus the row-conversion bill (see [[FusedMeasuresExpr]]).
+  */
+object FusedScorer {
+  def score(text: UTF8String, models: Boolean): InternalRow = {
+    val s = if (text == null) null else text.toString
+    val stats = new GenericArrayData(TextStats.compute(s))
+    val scrubbed = UTF8String.fromString(Scrub.scrubString(s))
+    if (models) {
+      val lc = LangId.predict(s)
+      new GenericInternalRow(Array[Any](stats, scrubbed,
+        UTF8String.fromString(lc._1), lc._2, Perplexity.perplexity(s)))
+    } else new GenericInternalRow(Array[Any](stats, scrubbed))
+  }
+}
+
+/** The quality-filter measure surface as ONE native Catalyst expression.
+  *
+  * Round 1 ran the fused scorer in a Dataset mapPartitions island; correct,
+  * but the Row encoder round-trips EVERY column through external objects —
+  * url/lang as java Strings, warc_ts as java.sql.Timestamp — and blocks
+  * column pruning through the lambda, so the scan reads columns the query
+  * never uses. As a native expression with doGenCode the pipeline stays
+  * inside whole-stage codegen end-to-end: passthrough columns never leave
+  * UnsafeRow, Catalyst prunes the scan to the referenced columns, and the
+  * only per-row conversion is the single text UTF8String->String the
+  * regex/scorer engines genuinely need (PlanSpec asserts the codegen span
+  * and scan schema).
+  *
+  * `deterministic = false` is load-bearing: it stops CollapseProject from
+  * inlining this expression once per extracted struct field (5 fused
+  * evaluations per row instead of 1). The expression IS functionally
+  * deterministic — a pure function of the text — so lineage/resume
+  * invariants are unaffected.
+  */
+case class FusedMeasuresExpr(child: Expression, models: Boolean)
+    extends UnaryExpression {
+
+  override def nullable: Boolean = false
+  override lazy val deterministic: Boolean = false
+  override def prettyName: String = "fused_measures"
+
+  override def dataType: DataType = FusedMeasuresExpr.schema(models)
+
+  override def eval(input: InternalRow): Any =
+    FusedScorer.score(child.eval(input).asInstanceOf[UTF8String], models)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${c.code}
+        InternalRow ${ev.value} = graft.functions.FusedScorer.score(
+          ${c.isNull} ? null : ${c.value}, $models);
+        """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object FusedMeasuresExpr {
+  def schema(models: Boolean): StructType = {
+    val base = StructType(Seq(
+      StructField("stats", ArrayType(IntegerType, containsNull = false),
+        nullable = false),
+      StructField("scrubbed_text", StringType, nullable = false)))
+    if (models) base
+      .add(StructField("lang_pred", StringType, nullable = false))
+      .add(StructField("langid_score", DoubleType, nullable = false))
+      .add(StructField("ppl", DoubleType, nullable = false))
+    else base
+  }
+
+  /** Column factory: fused measure struct over a text column. */
+  def apply(text: Column, models: Boolean): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      FusedMeasuresExpr(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text),
+        models))
+}

@@ -49,12 +49,31 @@ object LangId extends Serializable {
 
   val dim: Int = 1 << 12
 
+  /** trim().isEmpty without the trim allocation (String.trim strips
+    * chars <= 0x20).
+    */
+  @inline private def allBlank(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) { if (s.charAt(i) > ' ') return false; i += 1 }
+    true
+  }
+
+  /** Char of the VIRTUAL padded-lowercase view " text " at index i — no
+    * per-document lowercase/concat copies (the pipeline's 32-thread
+    * ceiling is allocation rate, not arithmetic). Per-char
+    * Character.toLowerCase; featurize and predict share this exact view,
+    * so model and scorer stay bit-consistent.
+    */
+  @inline private def cAt(s: String, i: Int, len: Int): Char =
+    if (i == 0 || i == len - 1) ' '
+    else Character.toLowerCase(s.charAt(i - 1))
+
   /** FNV-1a over the n-gram's UTF-16 code units — stable across JVMs. */
-  private def fnv1a(s: CharSequence, from: Int, until: Int): Int = {
+  @inline private def fnv1a(s: String, from: Int, until: Int, len: Int): Int = {
     var h = 0x811c9dc5
     var i = from
     while (i < until) {
-      h ^= s.charAt(i).toInt
+      h ^= cAt(s, i, len).toInt
       h *= 0x01000193
       i += 1
     }
@@ -68,21 +87,21 @@ object LangId extends Serializable {
   def featurize(text: String): Array[Float] = {
     val v = new Array[Float](dim)
     if (text == null || text.isEmpty) return v
-    val t = " " + text.toLowerCase + " "
+    val len = text.length + 2 // virtual " text " view
     // whitespace-only grams are skipped: the bare space gram is the single
     // most common feature of EVERY space-delimited language, so it swamps
     // the cosine with language-free mass (and biases unsegmented scripts
     // against segmented ones)
     @inline def allSpace(from: Int, until: Int): Boolean = {
       var k = from
-      while (k < until) { if (t.charAt(k) != ' ') return false; k += 1 }
+      while (k < until) { if (cAt(text, k, len) != ' ') return false; k += 1 }
       true
     }
     var i = 0
-    while (i < t.length - 1) {
-      if (!allSpace(i, i + 1)) v(fnv1a(t, i, i + 1)) += 1f
-      if (!allSpace(i, i + 2)) v(fnv1a(t, i, i + 2)) += 1f
-      if (i < t.length - 2 && !allSpace(i, i + 3)) v(fnv1a(t, i, i + 3)) += 1f
+    while (i < len - 1) {
+      if (!allSpace(i, i + 1)) v(fnv1a(text, i, i + 1, len)) += 1f
+      if (!allSpace(i, i + 2)) v(fnv1a(text, i, i + 2, len)) += 1f
+      if (i < len - 2 && !allSpace(i, i + 3)) v(fnv1a(text, i, i + 3, len)) += 1f
       i += 1
     }
     var norm = 0.0
@@ -124,14 +143,14 @@ object LangId extends Serializable {
     * the document norm is constant across languages.
     */
   def predict(text: String): (String, Double) = {
-    if (text == null || text.trim.isEmpty) return ("und", 0.0)
-    val t = " " + text.toLowerCase + " "
+    if (text == null || text.isEmpty || allBlank(text)) return ("und", 0.0)
+    val len = text.length + 2 // virtual " text " view, no copies
     val nLangs = langs.length
     val scores = new Array[Double](nLangs)
     var grams = 0
     @inline def allSpace(from: Int, until: Int): Boolean = {
       var k = from
-      while (k < until) { if (t.charAt(k) != ' ') return false; k += 1 }
+      while (k < until) { if (cAt(text, k, len) != ' ') return false; k += 1 }
       true
     }
     val pk = packed
@@ -141,11 +160,28 @@ object LangId extends Serializable {
       while (k < nLangs) { scores(k) += pk(base + k); k += 1 }
       grams += 1
     }
+    // incremental FNV: the 1/2/3-gram hashes at position i share a prefix
+    // fold, so each position costs 3 folds and ONE new char read+lowercase
+    // (rolling window) instead of 6 folds re-reading every char up to 6x.
+    // Bit-identical hashes to the naive formulation (FNV is a sequential
+    // fold), asserted against featurize by the golden tests.
+    var c0 = ' '
+    var c1 = cAt(text, 1, len)
     var i = 0
-    while (i < t.length - 1) {
-      if (!allSpace(i, i + 1)) add(fnv1a(t, i, i + 1))
-      if (!allSpace(i, i + 2)) add(fnv1a(t, i, i + 2))
-      if (i < t.length - 2 && !allSpace(i, i + 3)) add(fnv1a(t, i, i + 3))
+    while (i < len - 1) {
+      var h = 0x811c9dc5
+      h ^= c0.toInt; h *= 0x01000193
+      if (c0 != ' ') add((h & Int.MaxValue) % dim)
+      h ^= c1.toInt; h *= 0x01000193
+      if (c0 != ' ' || c1 != ' ') add((h & Int.MaxValue) % dim)
+      if (i < len - 2) {
+        val c2 = cAt(text, i + 2, len)
+        if (c0 != ' ' || c1 != ' ' || c2 != ' ') {
+          h ^= c2.toInt; h *= 0x01000193
+          add((h & Int.MaxValue) % dim)
+        }
+        c0 = c1; c1 = c2
+      }
       i += 1
     }
     if (grams == 0) return ("und", 0.0)

@@ -259,11 +259,24 @@ object TextStats {
         ti += Character.charCount(t.codePointAt(ti))
       }
     }
-    // symbol counter via the shared Pattern (this one scales fine); one
-    // match = one code point, astral-safe
+    // symbol counter: hand-rolled twin of the regex [^\p{L}\p{N}\s] —
+    // one count per code point that is neither a Unicode letter (regex
+    // \p{L} = the five L* categories = Character.isLetter), nor a number
+    // (\p{N} = Nd|Nl|No via getType), nor ASCII regex whitespace. Drops
+    // the per-document Matcher allocation + engine pass; equality with
+    // the regex twin is asserted by TextStatsSpec.
     var symbols = 0
-    val sm = symbolPat.matcher(t)
-    while (sm.find()) symbols += 1
+    var si = 0
+    while (si < t.length) {
+      val cp = t.codePointAt(si)
+      val isLN = Character.isLetter(cp) || {
+        val ty = Character.getType(cp)
+        ty == Character.DECIMAL_DIGIT_NUMBER ||
+          ty == Character.LETTER_NUMBER || ty == Character.OTHER_NUMBER
+      }
+      if (!isLN && !(cp < 128 && isAsciiSpace(cp.toChar))) symbols += 1
+      si += Character.charCount(cp)
+    }
 
     // lines: non-blank raw lines, distinct on raw content (few lines per
     // document; linear range comparison keeps exactness with zero allocs)

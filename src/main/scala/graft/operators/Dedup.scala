@@ -123,11 +123,14 @@ object Dedup {
     * 10^6-copy spam cluster would be 5*10^11 pairs — exactly the data
     * dedup exists to catch, and exactly what must not OOM the job.
     */
-  private def bucketPairs(buckets: DataFrame, maxBucketSize: Int): DataFrame = {
-    // canonical member order (structs sort by first field = the key) so
-    // the same pair always emits as (min, max) and distinct() dedups
-    // across bands
-    val sorted = array_sort(col("ms"))
+  /** Expects `ms` PRE-SORTED (sort it inside the upstream aggregate, where
+    * it runs once per bucket — an array_sort written here would be
+    * re-inlined by CollapseProject into every element_at below and
+    * re-evaluated O(n^2) times per bucket).
+    */
+  private[operators] def bucketPairs(buckets: DataFrame,
+                                     maxBucketSize: Int): DataFrame = {
+    val sorted = col("ms")
     def full = flatten(transform(
       sequence(lit(0), size(col("ms")) - 2),
       i => transform(sequence(i + 1, size(col("ms")) - 1),
@@ -197,9 +200,12 @@ object Dedup {
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(b, slice(col("signature"), b * rows + 1, lit(rows))
             .cast("string")))).as(Seq("band", "bucket")))
+    // sort INSIDE the aggregate: runs once per bucket and downstream code
+    // references the attribute (canonical member order -> the same pair
+    // always emits as (min, max), so distinct() dedups across bands)
     val buckets = banded.groupBy(col("band"), col("bucket"))
-      .agg(collect_list(struct(col(keyCol).as("k"), col("signature").as("sig")))
-        .as("ms"))
+      .agg(array_sort(collect_list(
+        struct(col(keyCol).as("k"), col("signature").as("sig")))).as("ms"))
     bucketPairs(buckets, maxBucketSize)
       .select(
         least(col("p.a.k"), col("p.b.k")).as("key_a"),
@@ -298,8 +304,8 @@ object Dedup {
         i => call_function("shiftright", col("simhash"), i * lit(width))
           .bitwiseAND(lit((1L << width) - 1)))).as(Seq("chunk_i", "chunk_v")))
     val buckets = chunked.groupBy(col("chunk_i"), col("chunk_v"))
-      .agg(collect_list(struct(col(keyCol).as("k"), col("simhash").as("sig")))
-        .as("ms"))
+      .agg(array_sort(collect_list(
+        struct(col(keyCol).as("k"), col("simhash").as("sig")))).as("ms"))
     bucketPairs(buckets, maxBucketSize)
       .select(
         least(col("p.a.k"), col("p.b.k")).as("key_a"),

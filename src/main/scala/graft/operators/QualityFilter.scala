@@ -94,21 +94,33 @@ object QualityFilter {
       array(verdicts.map { case (n, v) => when(!v, lit(n)) }: _*),
       x => x.isNotNull)
 
-  /** The one-pass pipeline: model scores (mapPartitions island) ->
-    * heuristic verdict columns -> keep/fail_reasons -> scrubbed text.
-    * Narrow dependencies only: NO shuffle from parquet scan to output.
-    * Column pruning matters at scale: `html` is never referenced, so the
-    * scan must not read it (asserted by PipelineSpec.explain test).
+  /** The one-pass pipeline: model scores -> heuristic verdict columns ->
+    * keep/fail_reasons -> scrubbed text. Narrow dependencies only: NO
+    * shuffle from parquet scan to output, and the whole pass is a single
+    * native Catalyst expression (functions.FusedMeasuresExpr) inside
+    * whole-stage codegen — passthrough columns never convert to external
+    * objects and Catalyst prunes the scan to the referenced columns
+    * (`html` is never read; PlanSpec/PipelineSpec assert both).
     */
   def run(pages: DataFrame, rules: Seq[RowRule] = defaultRules): DataFrame = {
     val needsModels = rules.exists(r =>
       r.measure == "ppl" || r.measure == "langid_score")
-    // ONE mapPartitions island computes model scores, the text-stats
-    // vector and the scrubbed text from a single text conversion per row;
+    // ONE fused expression computes model scores, the text-stats vector
+    // and the scrubbed text from a single text conversion per row;
     // verdicts, fail_reasons and the quality score are then cheap Column
-    // reads of the stats vector (see ModelScores.withAllMeasures)
-    val scored = ModelScores.withAllMeasures(pages.drop("html"), "text",
-      models = needsModels)
+    // reads of the stats vector
+    val base = pages.drop("html").withColumn("__m",
+      graft.functions.FusedMeasuresExpr(col("text"), needsModels))
+    val common = base
+      .withColumn("__ts", col("__m.stats"))
+      .withColumn("scrubbed_text", col("__m.scrubbed_text"))
+    val scored =
+      if (needsModels) common
+        .withColumn("lang_pred", col("__m.lang_pred"))
+        .withColumn("langid_score", col("__m.langid_score"))
+        .withColumn("ppl", col("__m.ppl"))
+        .drop("__m")
+      else common.drop("__m")
     val st = col("__ts")
     val verdicts = ruleVerdicts(rules, Some(st))
     val keep = verdicts.map(_._2).reduce(_ && _)

@@ -157,19 +157,16 @@ object Similarity {
                   threshold: Double, bits: Int = 6,
                   maxBucketSize: Int = 10000): DataFrame = {
     // collect-per-bucket + in-expression pair expansion: one shuffle, no
-    // self-join recompute of the bucketing (cf. Dedup.bucketPairs)
+    // self-join recompute of the bucketing. Shares Dedup.bucketPairs, so
+    // over-cap buckets STAR-expand (O(n) hub links) instead of silently
+    // dropping — no silent caps.
     val dims = df.select(size(col(vecCol))).head().getInt(0)
     val withB = df.select(col(keyCol), col(vecCol).as("v"))
       .withColumn("bucket", lshBucket(col("v"), bits, dims))
     val buckets = withB.groupBy(col("bucket"))
-      .agg(collect_list(struct(col(keyCol).as("k"), col("v").as("vec"))).as("ms"))
-      .filter(size(col("ms")).between(2, maxBucketSize))
-    buckets
-      .select(explode(flatten(transform(
-        sequence(lit(0), size(col("ms")) - 2),
-        i => transform(sequence(i + 1, size(col("ms")) - 1),
-          j => struct(element_at(col("ms"), i + 1).as("a"),
-            element_at(col("ms"), j + 1).as("b")))))).as("p"))
+      .agg(array_sort(collect_list(
+        struct(col(keyCol).as("k"), col("v").as("vec")))).as("ms"))
+    Dedup.bucketPairs(buckets, maxBucketSize)
       .select(
         least(col("p.a.k"), col("p.b.k")).as("key_a"),
         greatest(col("p.a.k"), col("p.b.k")).as("key_b"),

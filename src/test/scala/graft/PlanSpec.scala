@@ -80,6 +80,50 @@ class PlanSpec extends AnyFunSuite {
       s"pipeline introduced a shuffle:\n${plan.take(2000)}")
   }
 
+  test("fused measure expression: evaluated ONCE, inside codegen, scan " +
+    "pruned to referenced columns") {
+    val pages = graft.sources.Pages.load(spark, dir)
+    val q = graft.operators.QualityFilter.run(pages)
+      .select("url", "keep", "scrubbed_text", "lang_pred", "ppl")
+    val plan = q.queryExecution.executedPlan.toString
+    // one evaluation per row — NOT re-inlined per extracted struct field
+    assert("fused_measures".r.findAllIn(plan).length == 1,
+      s"fused expression duplicated:\n${plan.take(2000)}")
+    // the project computing it is inside a WholeStageCodegen stage
+    assert("\\*\\(\\d+\\) Project \\[[^\\n]*fused_measures".r
+      .findFirstIn(plan).isDefined,
+      s"fused expression fell out of codegen:\n${plan.take(2000)}")
+    // column pruning reaches the scan THROUGH the expression (the old
+    // mapPartitions island blocked pruning): only the columns the query
+    // uses are read
+    val rs = "ReadSchema: [^\\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(rs.contains("text") && !rs.contains("lang:") && !rs.contains("n_chars"),
+      s"scan reads unreferenced columns: $rs")
+  }
+
+  test("fused expression equals the mapPartitions island row-for-row") {
+    val pages = graft.sources.Pages.load(spark, dir).limit(200)
+    val viaExpr = graft.operators.QualityFilter.run(pages)
+      .select("url", "keep", "fail_reasons", "scrubbed_text", "lang_pred",
+        "langid_score", "ppl", "quality_score")
+      .collect().map(_.toString).sorted.toSeq
+    val island = graft.functions.ModelScores
+      .withAllMeasures(pages.drop("html"), "text", models = true)
+    val st = org.apache.spark.sql.functions.col("__ts")
+    val verdicts = graft.operators.QualityFilter
+      .ruleVerdicts(graft.operators.QualityFilter.defaultRules, Some(st))
+    val viaIsland = island
+      .withColumn("quality_score",
+        graft.functions.TextStats.measure("quality_score", st).get)
+      .withColumn("keep", verdicts.map(_._2).reduce(_ && _))
+      .withColumn("fail_reasons",
+        graft.operators.QualityFilter.failReasons(verdicts))
+      .select("url", "keep", "fail_reasons", "scrubbed_text", "lang_pred",
+        "langid_score", "ppl", "quality_score")
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaExpr == viaIsland)
+  }
+
   test("date-partitioned pages: crawl-date filters prune partitions") {
     val tmp = java.nio.file.Files.createTempDirectory("ppages").toString
     graft.sources.Pages.writePartitioned(

@@ -96,22 +96,28 @@ object AnomalyJob {
     var h = metrics.filter(col("check_id").startsWith(prefix))
     check.filter.foreach(f => h = h.filter(expr(f)))
     // history cap: oldest `limit` rows by run_time (reference ORDER BY
-    // run_time ASC LIMIT 10000). row_number window only if over the cap.
-    val hCapped = {
-      import org.apache.spark.sql.expressions.Window
-      val w = dim.map(d => Window.partitionBy(col(d)))
-        .getOrElse(Window.partitionBy())
-        .orderBy(col("run_time").asc)
-      h.select(dim.map(col).toSeq :+ col("actual_value") :+ col("run_time"): _*)
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") <= limit).drop("__rn")
+    // run_time ASC LIMIT 10000). Dim-less: orderBy+limit plans as
+    // TakeOrderedAndProject — per-partition top-k then a k-row merge, so
+    // unbounded history never funnels into one window task. Dimensioned:
+    // row_number window partitioned by the dim (parallel across dims).
+    val hCapped = dim match {
+      case None =>
+        h.select(col("actual_value"), col("run_time"))
+          .orderBy(col("run_time").asc).limit(limit)
+      case Some(d) =>
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col(d)).orderBy(col("run_time").asc)
+        h.select(col(d), col("actual_value"), col("run_time"))
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= limit).drop("__rn")
     }
     val z = madZScore(hCapped, dim)
     val verdict = Conditions.verdict(col("z_score"), check.condition, check.threshold)
     z.withColumn("success", when(col("n") < 5, lit(false)).otherwise(verdict))
       .withColumn("fail", !col("success"))
-      .withColumn("actual_value",
-        when(col("n") < 5, col("last_value")).otherwise(col("last_value")))
+      // reference reports the last value as actual_value in both branches
+      // (anomaly.py:103-112)
+      .withColumn("actual_value", col("last_value"))
       .withColumn("name", dim match {
         case Some(d) => concat_ws("_", lit(check.name), lit(d), col(d).cast(StringType))
         case None    => lit(check.name)

@@ -160,26 +160,29 @@ object TextStats {
 
   def compute(text: String): Array[Int] = {
     val t = if (text == null) "" else text
-    val docLength = t.codePointCount(0, t.length)
 
-    // pass 1: char classes + word count (sizes the scratch tables)
-    var upper = 0; var digit = 0; var spaceUnits = 0; var maxWords = 0
+    // light pre-pass: word count only (sizes the scratch tables tightly —
+    // sizing from a length upper bound would scatter the hash probes over
+    // a 4x larger, colder table)
+    var maxWords = 0
     var inWord = false
     var ci = 0
     while (ci < t.length) {
-      val c = t.charAt(ci)
-      if (c >= 'A' && c <= 'Z') { upper += 1; if (!inWord) { maxWords += 1; inWord = true } }
-      else if (c >= '0' && c <= '9') { digit += 1; if (!inWord) { maxWords += 1; inWord = true } }
-      else if (isAsciiSpace(c)) { spaceUnits += 1; inWord = false }
+      if (isAsciiSpace(t.charAt(ci))) inWord = false
       else if (!inWord) { maxWords += 1; inWord = true }
       ci += 1
     }
-    // \s is ASCII-only; each ASCII space is one code unit = one code point
-    val nonSpace = docLength - spaceUnits
 
-    // pass 2: words by index range; distinct + stopwords + dup bigrams via
-    // open addressing over (hash, range) — exact char comparison on
-    // collision, zero String allocation
+    // FUSED main pass: words by index range (distinct + stopwords + dup
+    // bigrams via open addressing over (hash, range) — exact char
+    // comparison on collision, zero String allocation) PLUS, per char/
+    // code point in the same scan: upper/digit/space class counts, the
+    // BPE-ish token machine ([A-Za-z]+ | [0-9]+ | single other code
+    // point), the symbol count ([^\p{L}\p{N}\s] twin), and the
+    // code-point length. One walk over the text instead of four.
+    var upper = 0; var digit = 0; var spaceUnits = 0
+    var tokens = 0; var symbols = 0; var surrPairs = 0
+    var tokenState = 0 // 0 = none, 1 = in letter run, 2 = in digit run
     val sc = scratch.get()
     sc.ensure(maxWords)
     val mask = sc.mask
@@ -197,10 +200,42 @@ object TextStats {
     var prevS = -1; var prevE = -1; var prevH = 0
     var i = 0
     while (i < t.length) {
-      if (isAsciiSpace(t.charAt(i))) i += 1
+      if (isAsciiSpace(t.charAt(i))) {
+        spaceUnits += 1; tokenState = 0; i += 1
+      }
       else {
         val ws = i
-        while (i < t.length && !isAsciiSpace(t.charAt(i))) i += 1
+        var inW = true
+        while (inW && i < t.length) {
+          val c = t.charAt(i)
+          if (isAsciiSpace(c)) inW = false
+          else if (c >= 'a' && c <= 'z') {
+            if (tokenState != 1) { tokens += 1; tokenState = 1 }
+            i += 1
+          } else if (c >= 'A' && c <= 'Z') {
+            upper += 1
+            if (tokenState != 1) { tokens += 1; tokenState = 1 }
+            i += 1
+          } else if (c >= '0' && c <= '9') {
+            digit += 1
+            if (tokenState != 2) { tokens += 1; tokenState = 2 }
+            i += 1
+          } else if (c < 128) {
+            // ASCII non-alnum non-space: one token, and always a symbol
+            tokens += 1; tokenState = 0; symbols += 1
+            i += 1
+          } else {
+            val cp = t.codePointAt(i)
+            tokens += 1; tokenState = 0
+            val isLN = Character.isLetter(cp) || {
+              val ty = Character.getType(cp)
+              ty == Character.DECIMAL_DIGIT_NUMBER ||
+                ty == Character.LETTER_NUMBER || ty == Character.OTHER_NUMBER
+            }
+            if (!isLN) symbols += 1
+            if (cp >= 0x10000) { surrPairs += 1; i += 2 } else i += 1
+          }
+        }
         val we = i
         wc += 1
         if (isStopword(t, ws, we)) stops += 1
@@ -233,50 +268,15 @@ object TextStats {
       }
     }
 
-    // token counter: hand-rolled equivalent of the regex
-    // [A-Za-z]+|[0-9]+|[^A-Za-z0-9\s] (letter runs, digit runs, single
-    // non-alnum-non-space code points). The regex alternation measured
-    // 39k docs/sec and REFUSED to scale across threads even with a fresh
-    // Pattern per thread (JDK17, MicroBench4); this loop does 265k/core
-    // and scales linearly. Equality with the regex is asserted by
-    // TextStatsSpec via the Column twin.
-    var tokens = 0
-    var ti = 0
-    while (ti < t.length) {
-      val c = t.charAt(ti)
-      if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')) {
-        tokens += 1; ti += 1
-        while (ti < t.length && {
-          val d = t.charAt(ti)
-          (d >= 'A' && d <= 'Z') || (d >= 'a' && d <= 'z')
-        }) ti += 1
-      } else if (c >= '0' && c <= '9') {
-        tokens += 1; ti += 1
-        while (ti < t.length && { val d = t.charAt(ti); d >= '0' && d <= '9' }) ti += 1
-      } else if (isAsciiSpace(c)) ti += 1
-      else {
-        tokens += 1
-        ti += Character.charCount(t.codePointAt(ti))
-      }
-    }
-    // symbol counter: hand-rolled twin of the regex [^\p{L}\p{N}\s] —
-    // one count per code point that is neither a Unicode letter (regex
-    // \p{L} = the five L* categories = Character.isLetter), nor a number
-    // (\p{N} = Nd|Nl|No via getType), nor ASCII regex whitespace. Drops
-    // the per-document Matcher allocation + engine pass; equality with
-    // the regex twin is asserted by TextStatsSpec.
-    var symbols = 0
-    var si = 0
-    while (si < t.length) {
-      val cp = t.codePointAt(si)
-      val isLN = Character.isLetter(cp) || {
-        val ty = Character.getType(cp)
-        ty == Character.DECIMAL_DIGIT_NUMBER ||
-          ty == Character.LETTER_NUMBER || ty == Character.OTHER_NUMBER
-      }
-      if (!isLN && !(cp < 128 && isAsciiSpace(cp.toChar))) symbols += 1
-      si += Character.charCount(cp)
-    }
+    // (token machine = hand-rolled twin of [A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]
+    // — the regex alternation measured 39k docs/sec and refused to scale
+    // across threads even with per-thread Patterns, MicroBench4; symbol
+    // count = hand-rolled twin of [^\p{L}\p{N}\s], \p{L} = isLetter,
+    // \p{N} = Nd|Nl|No. Equality with both regex twins is asserted by
+    // TextStatsSpec, including astral/CJK/accented fixtures.)
+    val docLength = t.length - surrPairs // = codePointCount
+    // \s is ASCII-only; each ASCII space is one code unit = one code point
+    val nonSpace = docLength - spaceUnits
 
     // lines: non-blank raw lines, distinct on raw content (few lines per
     // document; linear range comparison keeps exactness with zero allocs)

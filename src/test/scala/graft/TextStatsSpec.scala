@@ -53,6 +53,42 @@ class TextStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("fused pass equals Column twins on random unicode (property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // chars across the interesting classes: ASCII alnum/punct/space,
+    // accents, CJK, astral (surrogate pairs), lone spaces/newlines
+    val charGen = Gen.frequency(
+      8 -> Gen.alphaNumChar,
+      3 -> Gen.oneOf(' ', ' ', '\t', '\n', '.', ',', '@', '#', '-'),
+      2 -> Gen.oneOf('é', 'ñ', 'ß', '日', '本', '中', '½', 'Ⅷ'),
+      1 -> Gen.oneOf("🚀", "𝔘", "𝟗").map(_.charAt(0)) // high surrogates alone too
+    )
+    val textGen = Gen.chooseNum(0, 120)
+      .flatMap(n => Gen.listOfN(n, charGen).map(_.mkString))
+    val texts = (0 until 60).flatMap(i =>
+      textGen(Gen.Parameters.default, Seed(i.toLong))) ++
+      Seq("🚀🚀 test 𝔘𝔫𝔦", "a🚀b", " \n ", "½½ ⅧⅧ 12")
+    val df = texts.toDF("text")
+      .withColumn("__ts", TextStats.statsCol(col("text")))
+    Seq(
+      "doc_length" -> Heuristics.docLength(col("text")).cast("double"),
+      "word_count" -> Heuristics.wordCount(col("text")).cast("double"),
+      "token_count" -> Heuristics.tokenCount(col("text")).cast("double"),
+      "symbol_word_ratio" -> Heuristics.symbolWordRatio(col("text")),
+      "upper_fraction" -> Heuristics.upperFraction(col("text")),
+      "digit_fraction" -> Heuristics.digitFraction(col("text")),
+      "mean_word_length" -> Heuristics.meanWordLength(col("text"))
+    ).foreach { case (name, twin) =>
+      df.select(twin.as("a"), TextStats.measure(name, col("__ts")).get.as("b"),
+        col("text")).collect().foreach { r =>
+        assert(java.lang.Double.compare(r.getDouble(0), r.getDouble(1)) == 0,
+          s"$name mismatch on [${r.getString(2)}]: " +
+            s"column=${r.getDouble(0)} stats=${r.getDouble(1)}")
+      }
+    }
+  }
+
   test("scrubFast (one-pass UDF) equals the regexp_replace chain, byte for byte") {
     val piiDocs = docs ++ Seq(
       "mail a@b.co call 555-123-4567 or (212) 555-1234 ssn 123-45-6789 " +

@@ -69,6 +69,52 @@ object EventStream {
         count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("total_value"))
   }
 
+  /** STREAMING QUALITY FILTER: the same fused verdict pipeline
+    * (operators/QualityFilter — stateless narrow transforms, so it lifts
+    * to Structured Streaming unchanged) over a readStream file source,
+    * with the production delivery contract:
+    *
+    *  - exactly-once verdict delivery: each micro-batch overwrites its own
+    *    batch-keyed directory, so a replay after a crash rewrites the same
+    *    files instead of duplicating them; the checkpoint tracks which
+    *    input files are consumed;
+    *  - idempotent lineage: per-batch url-bucket metrics append through
+    *    MetricsStore.appendResumable with ids keyed on
+    *    (check_id, runId, batchId) — a replayed batch dedups to zero rows.
+    *
+    * Restarting the query with the same checkpoint resumes at the first
+    * unprocessed input file (the streaming analog of operators/Resume's
+    * bucket commits; ConfigAndStreamingSpec proves the restart behavior).
+    */
+  def streamingQualityFilter(spark: SparkSession, pagesDir: String,
+                             outDir: String, checkpointDir: String,
+                             metricsDir: String, runId: String,
+                             runTime: java.sql.Timestamp,
+                             rules: Seq[graft.operators.RowRule] =
+                               graft.operators.QualityFilter.defaultRules)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val pages = spark.readStream.schema(graft.sources.Pages.schema)
+      .parquet(pagesDir)
+    val verdicts = graft.operators.QualityFilter.run(pages, rules)
+    verdicts.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        val b = batch.persist()
+        b.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        val store = new graft.sources.MetricsStore(metricsDir)
+        val metrics = graft.operators.QualityFilter
+          .partitionMetrics(b, rules, runId, runTime)
+          .withColumn("id", sha2(concat(col("check_id"), lit(runId),
+            lit(batchId.toString)), 256))
+        store.appendResumable(b.sparkSession, metrics)
+        b.unpersist()
+        ()
+      }
+      .start()
+  }
+
   /** Stateful streaming 1: exactly-once event dedup by key over the stream
     * (state-store backed), with a watermark bounding state size.
     */

@@ -88,6 +88,55 @@ class StreamingSpec extends AnyFunSuite {
     tmp
   }
 
+  test("streaming quality filter: parity with batch, exactly-once verdicts, " +
+    "checkpointed restart processes only new files") {
+    import graft.sources.Pages
+    val tmp = java.nio.file.Files.createTempDirectory("sqf").toString
+    val runTime = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+    val all = Pages.load(spark, "/root/testdata/sf0.001").cache()
+    val first = all.filter(org.apache.spark.sql.functions.col("url").endsWith("0") || org.apache.spark.sql.functions.col("url").endsWith("1"))
+    val second = all.filter(!(org.apache.spark.sql.functions.col("url").endsWith("0") || org.apache.spark.sql.functions.col("url").endsWith("1")))
+    first.write.parquet(s"$tmp/in") // initial files
+
+    def runStream(): Unit = {
+      val q = graft.streaming.EventStream.streamingQualityFilter(spark,
+        s"$tmp/in", s"$tmp/out", s"$tmp/ckpt", s"$tmp/metrics", "runS", runTime)
+      q.processAllAvailable(); q.stop()
+    }
+    runStream()
+    val afterFirst = spark.read.parquet(s"$tmp/out").count()
+    assert(afterFirst == first.count())
+
+    // restart with the same checkpoint after new files arrive: only the
+    // new files are processed, nothing is duplicated
+    second.write.mode("append").parquet(s"$tmp/in")
+    runStream()
+    val streamed = spark.read.parquet(s"$tmp/out")
+      .select("url", "keep", "scrubbed_text")
+      .collect().map(_.toString).sorted.toSeq
+    val direct = graft.operators.QualityFilter.run(all)
+      .select("url", "keep", "scrubbed_text")
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed == direct)
+
+    // lineage metrics: ids unique (idempotent per batch), buckets covered
+    val m = spark.read.parquet(s"$tmp/metrics")
+    val ids = m.select("id").collect().map(_.getString(0))
+    assert(ids.length == ids.distinct.length && ids.nonEmpty)
+    // per-rule fail counts summed over batches equal the batch-mode run
+    val streamedFails = m.groupBy("name")
+      .agg(org.apache.spark.sql.functions.sum("actual_value").as("f"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val directFails = graft.operators.QualityFilter.partitionMetrics(
+        graft.operators.QualityFilter.run(all),
+        graft.operators.QualityFilter.defaultRules, "x", runTime)
+      .groupBy("name")
+      .agg(org.apache.spark.sql.functions.sum("actual_value").as("f"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamedFails == directFails)
+    all.unpersist()
+  }
+
   test("stateful streaming dedup equals batch distinct counts") {
     import org.apache.spark.sql.functions._
     val streamed = EventStream.streamingDedup(spark, eventsDir, "dedup_test")

@@ -83,13 +83,37 @@ object Dedup {
     * formulation by orders of magnitude (no 1000x row blowup, no shuffle
     * for the signature stage).
     */
+  /** splitmix64 finalizer — derives the second Kirsch-Mitzenmacher base
+    * hash from the first by avalanche instead of a second full pass over
+    * the shingle chars.
+    */
+  @inline private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
   def minhashSignatures(df: DataFrame, keyCol: String, textCol: String,
                         numHashes: Int = 64, shingleN: Int = 3): DataFrame = {
-    val sigUdf = udf { shs: Seq[String] =>
+    // signature straight from the word array: each shingle's h1 is FNV
+    // folded over the window's chars (with ' ' separators) — no shingle
+    // String is ever built, and no dedup pass is needed because min over
+    // a multiset equals min over its set. h2 = splitmix64(h1)|1 (the old
+    // second FNV pass, avalanched instead of recomputed).
+    val sigUdf = udf { ws: Seq[String] =>
       val sig = Array.fill(numHashes)(Long.MaxValue)
-      shs.foreach { sh =>
-        val h1 = fnv64(sh, 0L)
-        val h2 = fnv64(sh, 0x9e3779b97f4a7c15L) | 1L
+      val arr = ws.toArray
+      @inline def foldWord(h0: Long, w: String): Long = {
+        var h = h0
+        var i = 0
+        while (i < w.length) {
+          h ^= w.charAt(i).toInt; h *= 0x100000001b3L; i += 1
+        }
+        h
+      }
+      @inline def update(h1: Long): Unit = {
+        val h2 = mix64(h1) | 1L
         var i = 0
         while (i < numHashes) {
           val h = h1 + i * h2
@@ -97,10 +121,34 @@ object Dedup {
           i += 1
         }
       }
+      if (arr.length < shingleN) {
+        // fewer than n words: one whole-text shingle (words joined by ' ')
+        var h = 0xcbf29ce484222325L
+        var j = 0
+        while (j < arr.length) {
+          if (j > 0) { h ^= ' '.toInt; h *= 0x100000001b3L }
+          h = foldWord(h, arr(j))
+          j += 1
+        }
+        update(h)
+      } else {
+        var i = 0
+        while (i <= arr.length - shingleN) {
+          var h = 0xcbf29ce484222325L
+          var j = 0
+          while (j < shingleN) {
+            if (j > 0) { h ^= ' '.toInt; h *= 0x100000001b3L }
+            h = foldWord(h, arr(i + j))
+            j += 1
+          }
+          update(h)
+          i += 1
+        }
+      }
       sig.toSeq
     }
     df.select(col(keyCol),
-      sigUdf(shingles(col(textCol), shingleN)).as("signature"))
+      sigUdf(graft.functions.Heuristics.words(col(textCol))).as("signature"))
   }
 
   /** MinHash + LSH banding: split the signature into `bands` bands of

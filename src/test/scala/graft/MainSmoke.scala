@@ -7,6 +7,23 @@ package graft
 object MainSmoke {
   def main(args: Array[String]): Unit = {
     val tmp = java.nio.file.Files.createTempDirectory("mainsmoke").toString
+
+    // spark.sql.extensions=graft.GraftExtensions exposes the fused
+    // pipeline to pure SQL (must be the FIRST session in the JVM — this
+    // is exactly how spark-submit would configure it)
+    val extSession = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+    val extRow = extSession.sql(
+      "SELECT fused_measures('The house is on the hill and it is big', true) AS m")
+      .selectExpr("m.lang_pred", "m.stats[1] AS word_count", "m.scrubbed_text")
+      .head()
+    assert(extRow.getString(0) == "en", s"extensions langid: $extRow")
+    assert(extRow.getInt(1) == 10, s"extensions word count: $extRow")
+    println(s"EXTENSIONS fused_measures OK: $extRow")
+    extSession.stop()
+
     val prep = org.apache.spark.sql.SparkSession.builder()
       .master("local[4]").config("spark.ui.enabled", "false").getOrCreate()
     graft.sources.Pages.load(prep, "/root/testdata/sf0.001")

@@ -178,10 +178,21 @@ object Bench {
       val g8 = gops(8, 100000000L); val g32 = gops(32, 100000000L)
       probes = (g32 / g8) / 4.0 :: probes
     }
-    val pairs = (1 to 5).map { i =>
+    // one-sided outlier rejection: a run >2.5x slower than the best seen
+    // for its arm was hit by a neighbor burst (observed 10x swings) —
+    // retry once and keep the minimum. Never rejects fast runs.
+    val best = scala.collection.mutable.Map(8 -> Double.MaxValue,
+      32 -> Double.MaxValue)
+    def measured(cpus: Int): Double = {
+      var t = oneRun(cpus)
+      if (t > 2.5 * best(cpus)) t = math.min(t, oneRun(cpus))
+      best(cpus) = math.min(best(cpus), t)
+      t
+    }
+    val pairs = (1 to 7).map { i =>
       probeCeiling()
-      if (i % 2 == 1) (oneRun(32), oneRun(8))
-      else { val t8 = oneRun(8); (oneRun(32), t8) }
+      if (i % 2 == 1) (measured(32), measured(8))
+      else { val t8 = measured(8); (measured(32), t8) }
     }
     probeCeiling()
     val effs = pairs.map { case (t32, t8) => (t8 / t32) / 4.0 }.sorted

@@ -92,6 +92,17 @@ class DedupSpec extends AnyFunSuite {
     assert(!byPair.keys.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("lshBucketSizes reports over-cap buckets (cap observability)") {
+    val spam = (0L until 12L).map(i => (i, base)).toDF("doc_id", "text")
+    val sizes = Dedup.lshBucketSizes(spam, "doc_id", "text",
+      maxBucketSize = 4).collect()
+    // 12 identical docs share every band bucket: all buckets size 12,
+    // all flagged star_expanded — the drop/degrade is visible, not silent
+    assert(sizes.nonEmpty)
+    assert(sizes.forall(_.getAs[Long]("size") == 12L))
+    assert(sizes.forall(_.getAs[Boolean]("star_expanded")))
+  }
+
   test("star expansion keeps over-cap buckets connected in raw pairs API") {
     // identical docs, no pre-collapse, tiny cap: star links survive
     val spam = (0L until 12L).map(i => (i, base)).toDF("doc_id", "text")

@@ -33,15 +33,35 @@ object GoldenCorpus {
     else
       graft.functions.LangId.seeds(lang).split("\\s+").filter(_.nonEmpty)
 
-  /** One document, deterministically, from its index. */
+  /** One document, deterministically, from its index. Indexes >= 240 are
+    * the round-2 web-junk classes (boilerplate nav menus, code blocks) —
+    * appended past the original range so the original 240 docs and their
+    * committed labels are byte-stable across rounds.
+    */
   def doc(i: Int): (String, String, String) = {
     val rnd = new scala.util.Random(i.toLong * 7919 + 42)
     val lang = langs(i % langs.length)
     val ws = words(lang)
     def sentence(n: Int): String =
       (0 until n).map(_ => ws(rnd.nextInt(ws.length))).mkString(" ")
-    val cls = i % 12
+    val cls = if (i >= 240) 12 + (i % 2) else i % 12
     val text = cls match {
+      case 12 => // boilerplate nav menu: duplicated link rows, no prose
+        val items = Array("Home", "About", "Products", "Services", "Blog",
+          "Careers", "Contact", "Login", "Register", "Privacy", "Terms")
+        val menu = (0 until 6 + rnd.nextInt(5))
+          .map(_ => items(rnd.nextInt(items.length))).mkString(" | ")
+        (Seq.fill(4 + rnd.nextInt(3))(menu) :+
+          "Copyright 2024 Example Corp All rights reserved").mkString("\n")
+      case 13 => // code block: symbol-heavy, stopword-free
+        val ids = Array("val", "def", "return", "if", "else", "for",
+          "while", "int", "string", "foo", "bar", "baz", "qux", "result",
+          "index", "count")
+        (0 until 10 + rnd.nextInt(8)).map { k =>
+          s"${ids(rnd.nextInt(ids.length))} ${ids(rnd.nextInt(ids.length))}$k" +
+            s" = ${ids(rnd.nextInt(ids.length))}(${rnd.nextInt(100)}," +
+            s" \"${ids(rnd.nextInt(ids.length))}\");"
+        }.mkString("\n")
       case 9 => // too short
         sentence(3 + rnd.nextInt(5))
       case 10 => // symbol soup
@@ -67,7 +87,7 @@ object GoldenCorpus {
     (s"https://fixture.example.com/doc/$i", text, lang)
   }
 
-  def generate(spark: SparkSession, n: Int = 240): DataFrame = {
+  def generate(spark: SparkSession, n: Int = 280): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     spark.createDataset((0 until n).map(doc))

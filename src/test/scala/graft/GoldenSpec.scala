@@ -72,12 +72,34 @@ class GoldenSpec extends AnyFunSuite {
     assert(bad.isEmpty, s"ppl mismatch for ${bad.take(5)}")
   }
 
+  test("web-junk classes are dropped: nav-menu boilerplate and code blocks") {
+    val v = graft.operators.QualityFilter.run(
+      graft.sources.GoldenCorpus.generate(spark))
+      .select(col("url"), col("keep"), col("fail_reasons")).collect()
+      .map(r => r.getString(0).split("/").last.toInt ->
+        ((r.getBoolean(1), r.getSeq[String](2))))
+      .filter(_._1 >= 240)
+    assert(v.length == 40)
+    v.foreach { case (idx, (keep, reasons)) =>
+      assert(!keep, s"web-junk doc $idx kept (reasons=$reasons)")
+    }
+    // the drop reasons are the EXPECTED ones per class
+    val navReasons = v.filter(_._1 % 2 == 0).flatMap(_._2._2).toSet
+    val codeReasons = v.filter(_._1 % 2 == 1).flatMap(_._2._2).toSet
+    assert(navReasons.contains("max_dup_line_fraction") ||
+      navReasons.contains("min_stopword_fraction"), s"nav: $navReasons")
+    assert(codeReasons.contains("max_symbol_word_ratio") ||
+      codeReasons.contains("min_stopword_fraction"), s"code: $codeReasons")
+  }
+
   test("langid accuracy on clean-prose fixture classes is 100%") {
     val v = graft.operators.QualityFilter.run(
       graft.sources.GoldenCorpus.generate(spark))
       .select(col("url"), col("lang"), col("lang_pred")).collect()
-    val prose = v.filter(r =>
-      r.getString(0).split("/").last.toInt % 12 <= 5)
+    val prose = v.filter { r =>
+      val idx = r.getString(0).split("/").last.toInt
+      idx < 240 && idx % 12 <= 5
+    }
     val acc = prose.count(r => r.getString(1) == r.getString(2)).toDouble /
       prose.length
     assert(acc == 1.0, f"clean-prose langid accuracy $acc%.3f")

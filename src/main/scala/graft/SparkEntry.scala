@@ -263,7 +263,8 @@ object SparkEntry {
       Heuristics.qualityScore(col("text")).as("quality_score"))),
 
     "text_fingerprint" -> ((s, dir) => t(s, dir, "documents").select(
-      col("doc_id"), Heuristics.fingerprintMd5(col("text")).as("fingerprint"))),
+      col("doc_id"), Heuristics.fingerprintMd5(col("text")).as("fingerprint"),
+      Heuristics.rollingHash(col("text")).as("rolling_hash"))),
 
     // langid + perplexity: model measures, not SQL-expressible (rows-only)
     "text_langid" -> ((s, dir) =>
@@ -707,8 +708,15 @@ object SparkEntry {
          |      0.0) * 0.2, 6) AS quality_score
          |FROM w""".stripMargin,
 
+    // rolling hash re-derived in SQL: base-31 polynomial mod 1e9+7
     "text_fingerprint" ->
-      "SELECT doc_id, md5(coalesce(text, '')) AS fingerprint FROM documents",
+      """SELECT doc_id, md5(coalesce(text, '')) AS fingerprint,
+        |  list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(range(1, length(coalesce(text, '')) + 1),
+        |      i -> ascii(coalesce(text, '')[i])::BIGINT)),
+        |    (acc, c) -> (acc * 31 + c) % 1000000007)
+        |    AS rolling_hash
+        |FROM documents""".stripMargin,
 
     "dedup_exact" ->
       """SELECT doc_id, md5(coalesce(text, '')) AS fingerprint,

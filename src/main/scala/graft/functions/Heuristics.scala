@@ -143,12 +143,15 @@ object Heuristics {
   /** Document fingerprint: md5 hex of the raw text (exact-dup key). */
   def fingerprintMd5(text: Column): Column = md5(coalesce(text, lit("")))
 
-  /** Rolling polynomial hash (base-31 mod 2^61-1) over the text's
-    * characters, computed with the higher-order `aggregate` function —
-    * stays in codegen, no UDF. Spark-side only (not oracle-expressible).
+  /** Rolling polynomial hash (base-31 mod 1e9+7, the classical textbook
+    * modulus) over the text's characters, computed with the higher-order
+    * `aggregate` function — stays in codegen, no UDF. The modulus must
+    * keep acc*31 far below 2^63: Spark 4 runs ANSI arithmetic, so a
+    * 2^61-scale modulus overflows `times` mid-fold. DuckDB twin in the
+    * text_fingerprint oracle.
     */
   def rollingHash(text: Column): Column = {
-    val prime = 2305843009213693951L // 2^61 - 1
+    val prime = 1000000007L
     aggregate(
       split(coalesce(text, lit("")), ""),
       lit(0L),

@@ -401,7 +401,22 @@ object SparkEntry {
           // can't sort ARRAY columns (round-1 `err`)
           array_join(transform(col("media_features"),
             x => round(x.cast(DoubleType), 4).cast(StringType)), "|")
-            .as("media_features")))
+            .as("media_features"))),
+
+    // REAL WAV/RIFF metadata parsing (byte arithmetic, no codec). The WAV
+    // bytes are synthesized deterministically from doc_id (the fixture
+    // generator, like pagesCte builds html from text); the oracle
+    // re-derives the header fields the parser must recover.
+    "multimodal_audio" -> ((s, dir) => {
+      val synth = udf { id: Long =>
+        Multimodal.synthWav(8000 + (id % 5).toInt * 1000,
+          1 + (id % 2).toInt, 16, 100 + (id % 50).toInt)
+      }
+      Multimodal.audioMeta(
+        tp(s, dir, "documents")
+          .select(col("doc_id"), synth(col("doc_id")).as("wav")),
+        "doc_id", "wav")
+    })
   )
 
   // ------------------------------------------------------------- oracleSql
@@ -891,7 +906,7 @@ object SparkEntry {
          |    '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g'),
          |    '(?:\\+?1[ .-])?(?:\\(\\d{3}\\)[ .-]?|\\b\\d{3}[ .-])\\d{3}[ .-]\\d{4}\\b', '<PHONE>', 'g'),
          |    '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
-         |    '(?i)\\b(?:badword1|badword2|slur1)\\b', '<TOX>', 'g') AS scrubbed_text
+         |    '(?i)\\b(?:${graft.functions.Scrub.toxicityWords.mkString("|")})\\b', '<TOX>', 'g') AS scrubbed_text
          |FROM pages""".stripMargin,
 
     "pipeline_verdict" ->
@@ -959,6 +974,20 @@ object SparkEntry {
          |  octet_length(encode('<html><body>' || text || '</body></html>'))::BIGINT
          |    AS media_bytes,
          |  'html' AS media_format
-         |FROM pages""".stripMargin
+         |FROM pages""".stripMargin,
+
+    // re-derives the synthesized WAV header fields the RIFF parser must
+    // recover (data_bytes = frames*channels*2 for 16-bit PCM; duration =
+    // data_bytes / (rate*channels*2) seconds)
+    "multimodal_audio" ->
+      """SELECT doc_id,
+        |  (8000 + (doc_id % 5) * 1000)::INT AS sample_rate,
+        |  (1 + (doc_id % 2))::INT AS channels,
+        |  16::INT AS bits_per_sample,
+        |  ((100 + (doc_id % 50)) * (1 + (doc_id % 2)) * 2)::BIGINT AS data_bytes,
+        |  ((100 + (doc_id % 50)) * (1 + (doc_id % 2)) * 2 * 1000)::DOUBLE /
+        |    ((8000 + (doc_id % 5) * 1000) * (1 + (doc_id % 2)) * 2)::DOUBLE
+        |    AS duration_ms
+        |FROM documents""".stripMargin
   )
 }

@@ -52,10 +52,23 @@ object Heuristics {
   /** Count of "tokens" under a BPE-ish pre-tokenizer: letter runs, digit
     * runs, and single non-alphanumeric glyphs — the usual byte-pair
     * pre-segmentation shape, kept RE2-compatible for the DuckDB oracle.
+    *
+    * Decomposed into three single-char-class passes instead of the
+    * equivalent alternation `[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]`: the JDK
+    * engine executes that alternation at ~39k docs/sec with NO thread
+    * scaling (MicroBench4), while plain char classes scale cleanly.
+    * Exactly equivalent — greedy leftmost matching makes every letter/
+    * digit match in the alternation a maximal run, so total matches =
+    * letter runs + digit runs + other non-space code points. (The fused
+    * TextStats pass computes the same count in its single walk; this is
+    * the pure-Column twin for standalone measures and the oracle.)
     */
-  def tokenCount(text: Column): Column =
-    size(regexp_extract_all(coalesce(text, lit("")),
-      lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+  def tokenCount(text: Column): Column = {
+    val t = coalesce(text, lit(""))
+    size(regexp_extract_all(t, lit("[A-Za-z]+"), lit(0))) +
+      size(regexp_extract_all(t, lit("[0-9]+"), lit(0))) +
+      length(regexp_replace(t, "[A-Za-z0-9\\s]", ""))
+  }
 
   /** Symbol characters per word. "Symbol" = not a Unicode letter, digit or
     * whitespace (`\p{L}\p{N}` — an ASCII-only class would count every

@@ -34,10 +34,17 @@ object Scrub {
     ("\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>")
   )
 
-  /** Toxicity lexicon (placeholder list; the mechanism, a word-boundary
-    * replace, is the deliverable). Case-insensitive via (?i).
+  /** Toxicity lexicon: a short FROZEN subset of the public
+    * "List of Dirty, Naughty, Obscene, and Otherwise Bad Words"
+    * (LDNOOBW, CC-BY — the list C4/Common-Crawl-style pipelines use for
+    * this exact purpose). Deliberately small and lowercase (the
+    * case-insensitive substring guard below compares against lowercase
+    * needles); changing it changes scrubbed bytes, so it is part of the
+    * output contract like the PII patterns above.
     */
-  val toxicityWords: Seq[String] = Seq("badword1", "badword2", "slur1")
+  val toxicityWords: Seq[String] = Seq(
+    "fuck", "shit", "bitch", "cunt", "asshole", "bastard",
+    "dickhead", "motherfucker", "bullshit", "jackass", "twat", "wanker")
 
   val toxicityPattern: String =
     "(?i)\\b(?:" + toxicityWords.mkString("|") + ")\\b"

@@ -289,12 +289,24 @@ object Dedup {
                       shingleN: Int = 3,
                       maxBucketSize: Int = 1000): DataFrame = {
     val (reps, links) = collapseExact(df, keyCol, textCol)
+    // persist: the candidate set is referenced three times below (two
+    // verify joins + the key-set prefilter); it is O(near-dup pairs) —
+    // tiny relative to the corpus — so materializing it once is cheap
+    // and avoids re-running signature generation per reference.
     val cand = minhashCandidates(reps, keyCol, textCol, numHashes, bands,
-      shingleN, maxBucketSize).select("key_a", "key_b")
+      shingleN, maxBucketSize).select("key_a", "key_b").persist()
     // exact verification: join candidates (a small table) back to the
-    // representatives' shingle sets — true Jaccard, not the estimate
-    val shs = reps.select(col(keyCol),
-      shingles(col(textCol), shingleN).as("shs"))
+    // representatives' shingle sets — true Jaccard, not the estimate.
+    // Semi-join prefilter first: only representatives that actually appear
+    // in a candidate pair get shingled. At production thresholds candidates
+    // are a tiny fraction of documents, so this drops the verify stage's
+    // text work by orders of magnitude (shingling the whole corpus to
+    // verify a handful of pairs was the round-2 scale gap).
+    val candKeys = cand
+      .select(explode(array(col("key_a"), col("key_b"))).as(keyCol))
+      .distinct()
+    val shs = reps.join(candKeys, Seq(keyCol), "left_semi")
+      .select(col(keyCol), shingles(col(textCol), shingleN).as("shs"))
     val inter = size(array_intersect(col("sa"), col("sb"))).cast(DoubleType)
     val verified = cand
       .join(shs.select(col(keyCol).as("key_a"), col("shs").as("sa")), Seq("key_a"))

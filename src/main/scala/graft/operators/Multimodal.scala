@@ -18,73 +18,108 @@ object Multimodal {
   final case class ImageFeatures(width: Int, height: Int,
                                  histogram: Array[Float])
 
+  /** Pixel budget for [[decodeBounded]]: 16 MP ≈ 64 MB of ARGB ints. Web
+    * bytes are untrusted — a decompression bomb is a few-KB PNG declaring
+    * a huge canvas; the resulting allocation is an OutOfMemoryError (an
+    * Error, not an Exception) and would kill the executor, so it must be
+    * rejected from the HEADER, before any pixel memory is allocated.
+    */
+  val MaxPixels: Long = 16L * 1024 * 1024
+
+  /** Bounded decode: reads width/height from the image HEADER via an
+    * ImageReader first, rejects anything over `maxPixels`, then decodes
+    * the pixels ONCE. All downstream feature/resize paths share the
+    * returned BufferedImage (the previous shape decoded the same bytes
+    * twice — once for the histogram, once for the resize).
+    */
+  def decodeBounded(bytes: Array[Byte],
+                    maxPixels: Long = MaxPixels)
+      : Option[java.awt.image.BufferedImage] = {
+    if (bytes == null) return None
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      if (iis == null) return None
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, true, true)
+          // header-only: no pixel allocation happens for these two calls
+          val w = reader.getWidth(0)
+          val h = reader.getHeight(0)
+          if (w <= 0 || h <= 0 || w.toLong * h.toLong > maxPixels) None
+          else Option(reader.read(0))
+        } finally reader.dispose()
+      } finally iis.close()
+    } catch { case _: Exception => None }
+  }
+
+  /** (width, height, `bins`-bin luminance histogram) from a decoded image. */
+  def imageFeatures(img: java.awt.image.BufferedImage,
+                    bins: Int = 16): ImageFeatures = {
+    val h = new Array[Float](bins)
+    val w = img.getWidth
+    val ht = img.getHeight
+    var y = 0
+    while (y < ht) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = 0.299 * ((rgb >> 16) & 0xff) +
+          0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+        h(math.min((lum * bins / 256.0).toInt, bins - 1)) += 1f
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w * ht).toFloat
+    var j = 0
+    while (j < bins) { h(j) /= n; j += 1 }
+    ImageFeatures(w, ht, h)
+  }
+
   /** REAL decode: PNG/JPEG bytes -> (width, height, 16-bin luminance
-    * histogram) through javax.imageio. Returns None for undecodable
-    * bytes — callers fall back to the byte-histogram stub.
+    * histogram), bounded by [[MaxPixels]]. Returns None for undecodable
+    * or oversized bytes — callers fall back to the byte-histogram stub.
     */
   def decodeImage(bytes: Array[Byte], bins: Int = 16): Option[ImageFeatures] =
-    try {
-      val img = javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(bytes))
-      if (img == null) None
-      else {
-        val h = new Array[Float](bins)
-        val w = img.getWidth
-        val ht = img.getHeight
-        var y = 0
-        while (y < ht) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            val lum = 0.299 * ((rgb >> 16) & 0xff) +
-              0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
-            h(math.min((lum * bins / 256.0).toInt, bins - 1)) += 1f
-            x += 1
-          }
-          y += 1
-        }
-        val n = (w * ht).toFloat
-        var j = 0
-        while (j < bins) { h(j) /= n; j += 1 }
-        Some(ImageFeatures(w, ht, h))
-      }
-    } catch { case _: Exception => None }
+    decodeBounded(bytes).map(imageFeatures(_, bins))
 
   /** REAL resize for decoded images: pixel-space box filter down to a
     * gridxgrid mean-luminance thumbnail (the standard downsample kernel).
     */
-  def resizeImage(bytes: Array[Byte], grid: Int = 2): Option[Array[Float]] =
-    try {
-      val img = javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(bytes))
-      if (img == null) None
-      else {
-        val out = new Array[Float](grid * grid)
-        val counts = new Array[Int](grid * grid)
-        val w = img.getWidth
-        val ht = img.getHeight
-        var y = 0
-        while (y < ht) {
-          val gy = math.min(y * grid / ht, grid - 1)
-          var x = 0
-          while (x < w) {
-            val gx = math.min(x * grid / w, grid - 1)
-            val rgb = img.getRGB(x, y)
-            val lum = (0.299 * ((rgb >> 16) & 0xff) +
-              0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)) / 255.0
-            out(gy * grid + gx) += lum.toFloat
-            counts(gy * grid + gx) += 1
-            x += 1
-          }
-          y += 1
-        }
-        var j = 0
-        while (j < out.length) {
-          if (counts(j) > 0) out(j) /= counts(j); j += 1
-        }
-        Some(out)
+  def resizeDecoded(img: java.awt.image.BufferedImage,
+                    grid: Int = 2): Array[Float] = {
+    val out = new Array[Float](grid * grid)
+    val counts = new Array[Int](grid * grid)
+    val w = img.getWidth
+    val ht = img.getHeight
+    var y = 0
+    while (y < ht) {
+      val gy = math.min(y * grid / ht, grid - 1)
+      var x = 0
+      while (x < w) {
+        val gx = math.min(x * grid / w, grid - 1)
+        val rgb = img.getRGB(x, y)
+        val lum = (0.299 * ((rgb >> 16) & 0xff) +
+          0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)) / 255.0
+        out(gy * grid + gx) += lum.toFloat
+        counts(gy * grid + gx) += 1
+        x += 1
       }
-    } catch { case _: Exception => None }
+      y += 1
+    }
+    var j = 0
+    while (j < out.length) {
+      if (counts(j) > 0) out(j) /= counts(j); j += 1
+    }
+    out
+  }
+
+  def resizeImage(bytes: Array[Byte], grid: Int = 2): Option[Array[Float]] =
+    decodeBounded(bytes).map(resizeDecoded(_, grid))
 
   /** Magic-byte sniffing — real logic, no stub. */
   def sniffFormat(bytes: Array[Byte]): String = {
@@ -167,22 +202,120 @@ object Multimodal {
       it.map { r =>
         val bytes = if (r.isNullAt(idx)) null else r.getAs[Array[Byte]](idx)
         val fmt = sniffFormat(bytes)
-        // REAL decode for images; deterministic stub features otherwise
+        // REAL decode for images — ONCE, size-bounded (decodeBounded
+        // rejects decompression bombs from the header); histogram and
+        // resize share the decoded pixels. Deterministic stub otherwise.
         val img =
-          if (fmt == "png" || fmt == "jpeg") decodeImage(bytes) else None
-        val features = img.map(_.histogram).getOrElse(decodeStub(bytes))
-        val resized = img.flatMap(_ => resizeImage(bytes))
+          if (fmt == "png" || fmt == "jpeg") decodeBounded(bytes) else None
+        val features = img.map(imageFeatures(_).histogram)
+          .getOrElse(decodeStub(bytes))
+        val resized = img.map(resizeDecoded(_))
           .getOrElse(resizeStub(features))
         Row.fromSeq(r.toSeq ++ Seq(
           fmt,
           if (bytes == null) 0L else bytes.length.toLong,
-          img.map(_.width).getOrElse(-1),
-          img.map(_.height).getOrElse(-1),
+          img.map(_.getWidth).getOrElse(-1),
+          img.map(_.getHeight).getOrElse(-1),
           features.toSeq,
           resized.toSeq,
           frameSampleStub(bytes).toSeq))
       }
     }(Encoders.row(outSchema))
+  }
+
+  // ---------------------------------------------------------------- audio
+
+  final case class WavMeta(sampleRate: Int, channels: Int, bitsPerSample: Int,
+                           dataBytes: Long, durationMs: Double)
+
+  /** REAL audio metadata: RIFF/WAVE header parsing is pure byte
+    * arithmetic — no codec needed. Walks the chunk list (chunks are
+    * word-aligned: odd-sized chunks carry one pad byte), reads the
+    * `fmt ` fields and the `data` size, and derives the duration. Returns
+    * None for anything that is not a well-formed PCM-style WAV header.
+    * Only video FRAME EXTRACTION remains stubbed ([[frameSampleStub]]);
+    * the JDK ships no video codec.
+    */
+  def parseWavMeta(bytes: Array[Byte]): Option[WavMeta] = {
+    if (bytes == null || bytes.length < 12) return None
+    @inline def u16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    @inline def u32(o: Int): Long =
+      (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+        ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    @inline def tag(o: Int, s: String): Boolean =
+      bytes(o) == s.charAt(0) && bytes(o + 1) == s.charAt(1) &&
+        bytes(o + 2) == s.charAt(2) && bytes(o + 3) == s.charAt(3)
+    if (!tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    var rate = -1; var ch = -1; var bits = -1; var dataBytes = -1L
+    var off = 12L
+    while (off + 8 <= bytes.length) {
+      val o = off.toInt
+      val size = u32(o + 4)
+      if (tag(o, "fmt ") && size >= 16 && off + 8 + 16 <= bytes.length) {
+        ch = u16(o + 10)
+        rate = u32(o + 12).toInt
+        bits = u16(o + 22)
+      } else if (tag(o, "data")) {
+        // declared size, capped at what is actually present (truncated files)
+        dataBytes = math.min(size, bytes.length - off - 8)
+      }
+      off += 8 + size + (size & 1L) // word alignment: odd chunks pad 1 byte
+    }
+    if (rate <= 0 || ch <= 0 || bits <= 0 || bits % 8 != 0 || dataBytes < 0) None
+    else {
+      val bytesPerSec = rate.toLong * ch * (bits / 8)
+      Some(WavMeta(rate, ch, bits, dataBytes,
+        dataBytes * 1000.0 / bytesPerSec))
+    }
+  }
+
+  /** Deterministic WAV fixture generator (test/bench input — the
+    * deliverable is [[parseWavMeta]]): a canonical 44-byte PCM header plus
+    * `nFrames` frames of synthetic PCM derived from the frame index.
+    */
+  def synthWav(sampleRate: Int, channels: Int, bitsPerSample: Int,
+               nFrames: Int): Array[Byte] = {
+    val bytesPerFrame = channels * (bitsPerSample / 8)
+    val dataSize = nFrames * bytesPerFrame
+    val out = new Array[Byte](44 + dataSize)
+    @inline def putTag(o: Int, s: String): Unit = {
+      var i = 0; while (i < 4) { out(o + i) = s.charAt(i).toByte; i += 1 }
+    }
+    @inline def put16(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+    }
+    @inline def put32(o: Int, v: Long): Unit = {
+      var i = 0
+      while (i < 4) { out(o + i) = ((v >> (8 * i)) & 0xff).toByte; i += 1 }
+    }
+    putTag(0, "RIFF"); put32(4, 36L + dataSize); putTag(8, "WAVE")
+    putTag(12, "fmt "); put32(16, 16L)
+    put16(20, 1) // PCM
+    put16(22, channels)
+    put32(24, sampleRate.toLong)
+    put32(28, sampleRate.toLong * bytesPerFrame)
+    put16(32, bytesPerFrame)
+    put16(34, bitsPerSample)
+    putTag(36, "data"); put32(40, dataSize.toLong)
+    var i = 0
+    while (i < dataSize) { out(44 + i) = ((i * 31 + 7) & 0xff).toByte; i += 1 }
+    out
+  }
+
+  /** Parsed WAV metadata over a binary column: (keyCol, sample_rate,
+    * channels, bits_per_sample, data_bytes, duration_ms). Non-WAV rows
+    * yield NULL metadata (nullable struct from the Option-returning UDF).
+    */
+  def audioMeta(df: DataFrame, keyCol: String, binCol: String): DataFrame = {
+    val parse = udf { b: Array[Byte] =>
+      parseWavMeta(b).map(m =>
+        (m.sampleRate, m.channels, m.bitsPerSample, m.dataBytes, m.durationMs))
+    }
+    df.select(col(keyCol), parse(col(binCol)).as("w"))
+      .select(col(keyCol),
+        col("w._1").as("sample_rate"), col("w._2").as("channels"),
+        col("w._3").as("bits_per_sample"), col("w._4").as("data_bytes"),
+        col("w._5").as("duration_ms"))
   }
 
   /** Metadata-only projection — must NOT read/carry the binary payload

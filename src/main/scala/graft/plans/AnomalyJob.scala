@@ -111,7 +111,10 @@ object AnomalyJob {
           .withColumn("__rn", row_number().over(w))
           .filter(col("__rn") <= limit).drop("__rn")
     }
-    val z = madZScore(hCapped, dim)
+    // single-pass typed aggregate: one shuffle for (median, MAD, last, n)
+    // instead of the two-pass built-in formulation (kept above as the
+    // parity cross-check — PlanSpec asserts row-parity and exchange count)
+    val z = madZScoreSinglePass(hCapped, dim)
     val verdict = Conditions.verdict(col("z_score"), check.condition, check.threshold)
     z.withColumn("success", when(col("n") < 5, lit(false)).otherwise(verdict))
       .withColumn("fail", !col("success"))

@@ -80,6 +80,58 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r.getAs[scala.collection.Seq[Float]]("media_features").length == 16)
   }
 
+  test("pixel budget rejects oversized images from the header (bomb guard)") {
+    val img = new java.awt.image.BufferedImage(8, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val png = baos.toByteArray
+    // 8x4 = 32 pixels: over an 8-pixel budget -> rejected before decode
+    assert(Multimodal.decodeBounded(png, maxPixels = 8).isEmpty)
+    assert(Multimodal.decodeBounded(png, maxPixels = 32).isDefined)
+    // a crafted header declaring huge dimensions must not decode either
+    // (rejected by the budget if the reader accepts the header, or by the
+    // decode error path if it doesn't — never by an executor-killing OOM)
+    val bomb = png.clone()
+    bomb(16) = 0x7f; bomb(17) = 0xff.toByte // IHDR width (big-endian)
+    bomb(20) = 0x7f; bomb(21) = 0xff.toByte // IHDR height
+    assert(Multimodal.decodeImage(bomb).isEmpty)
+  }
+
+  test("WAV/RIFF metadata: real byte-arithmetic parse, round-trip") {
+    val wav = Multimodal.synthWav(44100, 2, 16, 1000)
+    assert(Multimodal.sniffFormat(wav) == "riff")
+    val m = Multimodal.parseWavMeta(wav).get
+    assert(m.sampleRate == 44100 && m.channels == 2 && m.bitsPerSample == 16)
+    assert(m.dataBytes == 4000)
+    assert(math.abs(m.durationMs - 4000 * 1000.0 / (44100 * 2 * 2)) < 1e-9)
+
+    // odd-sized chunk before fmt: the walker must skip its pad byte
+    val extra = "LIST".getBytes ++ Array[Byte](3, 0, 0, 0, 1, 2, 3, 0)
+    val spliced = wav.take(12) ++ extra ++ wav.drop(12)
+    assert(Multimodal.parseWavMeta(spliced).get == m)
+
+    // truncated data chunk: declared size capped at what is present
+    val cut = wav.take(wav.length - 1000)
+    assert(Multimodal.parseWavMeta(cut).get.dataBytes == 3000)
+
+    // non-WAV bytes
+    assert(Multimodal.parseWavMeta("RIFFxxxxAVI LIST".getBytes).isEmpty)
+    assert(Multimodal.parseWavMeta(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("audioMeta operator: parsed columns over a binary column") {
+    val rows = Seq(
+      (1L, Multimodal.synthWav(8000, 1, 16, 100)),
+      (2L, "not a wav at all".getBytes)
+    ).toDF("doc_id", "wav")
+    val out = Multimodal.audioMeta(rows, "doc_id", "wav")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getInt(1) == 8000 && out(1L).getInt(2) == 1)
+    assert(out(1L).getLong(4) == 200L)
+    assert(out(2L).isNullAt(1))
+  }
+
   test("resize kernel: mean pooling over equal spans") {
     val f = Array(1f, 1f, 3f, 3f, 5f, 5f, 7f, 7f)
     assert(Multimodal.resizeStub(f, 4).toSeq == Seq(1f, 3f, 5f, 7f))

@@ -20,7 +20,8 @@ class ScrubSpec extends AnyFunSuite {
     assert(scrub("call 555-123-4567 or (212) 555-1234") ==
       "call <PHONE> or <PHONE>")
     assert(scrub("host 192.168.0.1:8080") == "host <IP>:8080")
-    assert(scrub("you BadWord1 and badword2!") == "you <TOX> and <TOX>!")
+    assert(scrub("you FuCk and bullshit!") == "you <TOX> and <TOX>!")
+    assert(scrub("scunthorpe shitake classic") == "scunthorpe shitake classic")
   }
 
   test("ordering: SSN/CC shapes are not half-eaten by the phone pattern") {

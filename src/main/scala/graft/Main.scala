@@ -56,21 +56,45 @@ object Main {
     }.toMap
   }
 
+  /** Config load with `.env` parity (reference main.py:52-59): a dotenv
+    * next to the config or in the CWD feeds {{VAR}} templating, with real
+    * process env vars winning.
+    */
+  private def loadConfig(cfgPath: String): BaseConfig =
+    ConfigLoader.load(cfgPath, ConfigLoader.envForConfig(cfgPath))
+
+  /** Metric-store path: an explicit CLI dir, or `@config` to resolve the
+    * first metricstore connection from the YAML `connections:` list
+    * (reference runner:124-128 picks the store connection from config).
+    */
+  private def storeFor(metricsDir: String, cfg: BaseConfig): MetricsStore =
+    if (metricsDir != "@config") new MetricsStore(metricsDir)
+    else {
+      val c = cfg.connections.find(_.connType == "metricstore").getOrElse(
+        throw new IllegalArgumentException(
+          "metricsDir '@config' requires a metricstore entry under connections:"))
+      require(c.uri.nonEmpty, s"connection '${c.name}' has no uri")
+      new MetricsStore(c.uri)
+    }
+
   def main(args: Array[String]): Unit = args.headOption match {
     case Some("run") =>
       require(args.length >= 5,
-        "usage: graft.Main run <configYaml> <tablesDir> <metricsDir> <runId>")
+        "usage: graft.Main run <configYaml> <tablesDir> <metricsDir|@config> <runId>")
       val Array(_, cfgPath, tablesDir, metricsDir, runId) = args.take(5)
       val spark = session(s"graft-run-$runId")
-      val cfg = ConfigLoader.load(cfgPath)
-      val store = new MetricsStore(metricsDir)
+      val cfg = loadConfig(cfgPath)
+      val store = storeFor(metricsDir, cfg)
       val runTime = new java.sql.Timestamp(System.currentTimeMillis())
       val res = Runner.run(cfg, spark, loadTables(spark, tablesDir), store,
         runId, runTime)
       println(Export.renderTable(
         store.read(spark).filter(col("run_id") === runId), showIds = false))
+      // webhook only when slack_url is configured (reference export.py:38);
+      // the sandbox has no egress, so the sender renders the POST it would
+      // make — a real deployment swaps in an HTTP client here
       val report = Export.exportResults(spark, store, runId, runTime,
-        sender = Some(Export.ConsoleSender))
+        sender = cfg.slackUrl.map(Export.printingSender))
       println(s"run $runId complete: total=${res.total} " +
         s"success=${res.successes} fail=${res.failures} " +
         s"(reported ${report.failures.size} failure details)")
@@ -80,7 +104,7 @@ object Main {
       require(args.length >= 3,
         "usage: graft.Main compile <configYaml> <tablesDir>")
       val spark = session("graft-compile")
-      val cfg = ConfigLoader.load(args(1))
+      val cfg = loadConfig(args(1))
       val plans = Runner.compile(cfg, spark, loadTables(spark, args(2)))
       plans.foreach(println)
       println(s"compiled ${plans.size} checks OK")
@@ -90,8 +114,8 @@ object Main {
       require(args.length >= 4,
         "usage: graft.Main sample <configYaml> <metricsDir> <checkName> [runId]")
       val spark = session("graft-sample")
-      val cfg = ConfigLoader.load(args(1))
-      val store = new MetricsStore(args(2))
+      val cfg = loadConfig(args(1))
+      val store = storeFor(args(2), cfg)
       val runId = if (args.length > 4) args(4) else "sample"
       val check = cfg.checks.find(_.name == args(3)).getOrElse(
         throw new IllegalArgumentException(s"no check named '${args(3)}'"))
@@ -113,7 +137,14 @@ object Main {
       spark.stop()
 
     case Some(first) =>
-      // `filter` subcommand, or legacy positional form (first arg = pagesDir)
+      // `filter` subcommand, or legacy positional form (first arg =
+      // pagesDir). The legacy form is only accepted when the first arg is
+      // an existing directory — a typo'd subcommand ('runs', 'samlpe')
+      // must error as such, not start a filter job against wrong paths.
+      if (first != "filter" && !new java.io.File(first).isDirectory)
+        sys.error(s"unknown subcommand '$first' " +
+          "(expected run|compile|sample|filter, or an existing pagesDir " +
+          "for the legacy positional filter form)")
       val a = if (first == "filter") args.drop(1) else args
       require(a.length >= 4,
         "usage: graft.Main filter <pagesDir> <outDir> <metricsDir> <runId> " +
@@ -123,7 +154,7 @@ object Main {
       val spark = session(s"graft-quality-filter-$runId")
       val rules =
         if (a.length > 5) {
-          val cfg = ConfigLoader.load(a(5))
+          val cfg = loadConfig(a(5))
           val fromCfg = cfg.checks.map(graft.operators.RowRule.fromCheck)
           require(fromCfg.nonEmpty, "config has no checks")
           fromCfg

@@ -6,7 +6,12 @@ import scala.jdk.CollectionConverters._
 /** YAML check-config loader — semantics of the reference's loader
   * (weiser/loader/config.py:14-104):
   *   - {{VAR}} templating from the environment (config.py:70-74; the
-  *     reference uses Jinja2, we support the variable-substitution subset)
+  *     reference renders through full Jinja2 — we support the
+  *     variable-substitution subset, which covers every shipped reference
+  *     example; loops/conditionals in YAML configs are NOT supported and
+  *     fail loudly as unsubstituted text)
+  *   - `.env` file loading under the process environment
+  *     (weiser/main.py:52-59 python-dotenv parity, see [[envForConfig]])
   *   - recursive `includes` with a visited set (config.py:80-98)
   *   - namespace merge: concatenate checks/datasources, dedupe includes
   *     (config.py:14-29)
@@ -32,7 +37,14 @@ object ConfigLoader {
       },
       includes = root.get("includes").map(
         _.asInstanceOf[java.util.List[Object]].asScala.toSeq.map(_.toString))
-        .getOrElse(Nil)
+        .getOrElse(Nil),
+      connections = list(root, "connections").map { m =>
+        Connection(str(m, "name").getOrElse("default"),
+          str(m, "type").getOrElse("metricstore"),
+          str(m, "uri").orElse(str(m, "db_name")).getOrElse(""))
+      },
+      slackUrl = root.get("slack_url").flatMap(Option(_)).map(_.toString)
+        .filter(_.nonEmpty)
     )
   }
 
@@ -76,7 +88,13 @@ object ConfigLoader {
       filter = str(m, "filter"),
       timeDimension = td,
       checkId = str(m, "check_id"),
-      description = str(m, "description")
+      description = str(m, "description"),
+      // string or list, like `dataset` (reference models.py:81)
+      datasource = m.get("datasource") match {
+        case Some(l: java.util.List[_]) => l.asScala.toSeq.map(_.toString)
+        case Some(s)                    => Seq(s.toString)
+        case None                       => Nil
+      }
     )
   }
 
@@ -87,7 +105,47 @@ object ConfigLoader {
     version = a.version,
     checks = a.checks ++ b.checks,
     datasources = a.datasources ++ b.datasources,
-    includes = (a.includes ++ b.includes).distinct)
+    includes = (a.includes ++ b.includes).distinct,
+    connections = a.connections ++ b.connections,
+    slackUrl = a.slackUrl.orElse(b.slackUrl))
+
+  /** Parse a dotenv file (KEY=VALUE lines; `#` comments, optional
+    * `export ` prefix, single/double quotes stripped). Returns empty for a
+    * missing file. Mirrors the reference's python-dotenv load before
+    * templating (weiser/main.py:52-59).
+    */
+  def loadDotEnv(path: String): Map[String, String] = {
+    val p = Paths.get(path)
+    if (!Files.exists(p)) return Map.empty
+    new String(Files.readAllBytes(p), "UTF-8").linesIterator
+      .map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#") && l.contains('='))
+      .map { l =>
+        val line = if (l.startsWith("export ")) l.drop(7).trim else l
+        val i = line.indexOf('=')
+        val k = line.take(i).trim
+        var v = line.drop(i + 1).trim
+        if (v.length >= 2 &&
+          ((v.head == '"' && v.last == '"') || (v.head == '\'' && v.last == '\'')))
+          v = v.substring(1, v.length - 1)
+        k -> v
+      }
+      .filter(_._1.nonEmpty)
+      .toMap
+  }
+
+  /** Template environment for a config at `cfgPath`: a `.env` next to the
+    * config (or in the working directory) merged UNDER the process
+    * environment — python-dotenv's default load_dotenv(override=False)
+    * behavior (weiser/main.py:52-59): real env vars win.
+    */
+  def envForConfig(cfgPath: String,
+                   processEnv: Map[String, String] = sys.env): Map[String, String] = {
+    val byConfig = Option(Paths.get(cfgPath).toAbsolutePath.getParent)
+      .map(_.resolve(".env").toString).map(loadDotEnv).getOrElse(Map.empty)
+    val byCwd = loadDotEnv(".env")
+    byCwd ++ byConfig ++ processEnv
+  }
 
   /** Load with recursive includes. The visited set is threaded through the
     * whole walk (siblings included) so diamond includes (A->B->D, A->C->D)

@@ -101,6 +101,17 @@ object Export {
     def send(payload: String): Boolean = { println(payload); true }
   }
 
+  /** Sender for a configured slack_url in a no-egress environment: renders
+    * the POST it would make. A deployment replaces this with an HTTP
+    * client posting `payload` to `url` (reference export.py:38-41).
+    */
+  def printingSender(url: String): WebhookSender = new WebhookSender {
+    def send(payload: String): Boolean = {
+      println(s"POST $url\n$payload")
+      true
+    }
+  }
+
   /** Full export: assemble the report; post to the webhook if configured.
     * Returns the report (reference export_results returns a bool; the
     * report itself is more useful to callers and tests).

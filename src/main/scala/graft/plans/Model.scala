@@ -61,16 +61,29 @@ final case class Check(
     filter: Option[String] = None,            // SQL predicate string
     timeDimension: Option[TimeDimension] = None,
     checkId: Option[String] = None,           // only used by anomaly checks
-    description: Option[String] = None
+    description: Option[String] = None,
+    // per-check datasource pinning (reference models.py:81 accepts a
+    // string or list; runner:26-37 fans a check out over exactly its own
+    // datasources). Empty = run on every configured datasource.
+    datasource: Seq[String] = Nil
 ) {
   def thresholdScalar: Double = threshold.fold(identity, _._1)
 }
 
 final case class Datasource(name: String, dsType: String = "parquet", uri: String = "")
 
+/** Metric-store connection entry (reference models.py:198-213: the
+  * `connections:` list carries where metric rows land; type `metricstore`).
+  * Here the uri is a parquet/warehouse path for sources.MetricsStore.
+  */
+final case class Connection(name: String, connType: String = "metricstore",
+                            uri: String = "")
+
 final case class BaseConfig(
     version: Int = 1,
     checks: Seq[Check] = Nil,
     datasources: Seq[Datasource] = Nil,
-    includes: Seq[String] = Nil
+    includes: Seq[String] = Nil,
+    connections: Seq[Connection] = Nil,       // reference models.py:207
+    slackUrl: Option[String] = None           // reference models.py:213
 )

@@ -124,15 +124,20 @@ object Runner {
   }
 
   /** Multi-datasource fan-out (reference runner:26-37: every check runs
-    * once per configured datasource). Each datasource is a named table
-    * universe; check_ids differ per datasource by construction
-    * (sha256(datasource || ...)), so the rows coexist in one store.
+    * once per EACH OF ITS OWN datasources — `Check.datasource` pins a
+    * check to a subset; unpinned checks run everywhere). Each datasource
+    * is a named table universe; check_ids differ per datasource by
+    * construction (sha256(datasource || ...)), so the rows coexist in one
+    * store.
     */
   def runAll(cfg: BaseConfig, spark: SparkSession,
              datasources: Map[String, Map[String, DataFrame]],
              store: MetricsStore, runId: String,
              runTime: java.sql.Timestamp): Seq[RunResult] =
-    datasources.toSeq.sortBy(_._1).map { case (name, tables) =>
-      run(cfg, spark, tables, store, runId, runTime, name)
+    datasources.toSeq.sortBy(_._1).flatMap { case (name, tables) =>
+      val scoped = cfg.copy(checks = cfg.checks.filter(c =>
+        c.datasource.isEmpty || c.datasource.contains(name)))
+      if (scoped.checks.isEmpty) None
+      else Some(run(scoped, spark, tables, store, runId, runTime, name))
     }
 }

@@ -69,6 +69,48 @@ class ConfigLoaderSpec extends AnyFunSuite {
     assert(cfg.checks.map(_.name).sorted == Seq("a", "b", "c", "d"))
   }
 
+  test("connections, slack_url and per-check datasource parse from YAML " +
+    "(reference models.py:81,207-213)") {
+    val cfg = ConfigLoader.parseYaml(
+      """version: 1
+        |connections:
+        |  - name: metricstore
+        |    type: metricstore
+        |    uri: /tmp/metrics
+        |slack_url: https://hooks.example.com/T000/B000
+        |checks:
+        |  - {name: everywhere, dataset: t, type: row_count}
+        |  - {name: pinned_one, dataset: t, type: row_count, datasource: ds1}
+        |  - name: pinned_two
+        |    dataset: t
+        |    type: row_count
+        |    datasource: [ds1, ds2]
+        |""".stripMargin)
+    assert(cfg.connections ==
+      Seq(Connection("metricstore", "metricstore", "/tmp/metrics")))
+    assert(cfg.slackUrl.contains("https://hooks.example.com/T000/B000"))
+    assert(cfg.checks.map(_.datasource) ==
+      Seq(Nil, Seq("ds1"), Seq("ds1", "ds2")))
+  }
+
+  test(".env file feeds templating; process env wins (main.py:52-59)") {
+    val tmp = java.nio.file.Files.createTempDirectory("dotenv")
+    java.nio.file.Files.writeString(tmp.resolve(".env"),
+      "# comment line\nexport GRAFT_DOTENV_TABLE=pages\n" +
+        "GRAFT_DOTENV_QUOTED=\"hello world\"\nNOT_A_LINE\nPATH=ignored\n")
+    java.nio.file.Files.writeString(tmp.resolve("c.yaml"),
+      "checks:\n  - {name: x, dataset: '{{GRAFT_DOTENV_TABLE}}', type: row_count,\n" +
+        "     filter: \"t = '{{GRAFT_DOTENV_QUOTED}}'\"}\n")
+    val env = ConfigLoader.envForConfig(tmp.resolve("c.yaml").toString)
+    assert(env("GRAFT_DOTENV_TABLE") == "pages")
+    assert(env("GRAFT_DOTENV_QUOTED") == "hello world")
+    // the process env value wins over the dotenv one
+    assert(env("PATH") == sys.env("PATH"))
+    val cfg = ConfigLoader.load(tmp.resolve("c.yaml").toString, env)
+    assert(cfg.checks.head.dataset == Seq("pages"))
+    assert(cfg.checks.head.filter.contains("t = 'hello world'"))
+  }
+
   test("between threshold list must have exactly two elements") {
     assertThrows[IllegalArgumentException] {
       ConfigLoader.parseYaml(

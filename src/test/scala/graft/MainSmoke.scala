@@ -32,11 +32,21 @@ object MainSmoke {
     prep.read.parquet("/root/testdata/sf0.001/orders.parquet")
       .write.parquet(s"$tmp/tables/orders.parquet")
     prep.stop()
+    // .env next to the config feeds {{VAR}} templating (main.py:52-59);
+    // connections: + slack_url: exercise the config-plumbing parity
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$tmp/.env"),
+      "SMOKE_TABLE=orders\n")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$tmp/checks.yaml"),
-      """checks:
+      s"""connections:
+        |  - name: metricstore
+        |    type: metricstore
+        |    uri: $tmp/checkmetrics
+        |slack_url: https://hooks.example.com/T000/B000/SMOKE
+        |checks:
         |  - name: orders count
-        |    dataset: orders
+        |    dataset: '{{SMOKE_TABLE}}'
         |    type: row_count
         |    condition: gt
         |    threshold: 100
@@ -52,12 +62,18 @@ object MainSmoke {
     Main.main(Array(s"$tmp/pages", s"$tmp/out", s"$tmp/metrics", "smoke1", "4"))
     // compile: validates plans, executes nothing
     Main.main(Array("compile", s"$tmp/checks.yaml", s"$tmp/tables"))
-    // run: executes checks, prints table + failure report
+    // run: executes checks, prints table + failure report + the slack
+    // payload POST (slack_url is set); '@config' resolves the metric
+    // store from the connections: list
     Main.main(Array("run", s"$tmp/checks.yaml", s"$tmp/tables",
-      s"$tmp/checkmetrics", "smokerun"))
+      "@config", "smokerun"))
     // sample: seeds deterministic history
     Main.main(Array("sample", s"$tmp/checks.yaml", s"$tmp/checkmetrics",
       "orders count"))
+    // a typo'd subcommand must error, not fall through to a filter job
+    val bad = try { Main.main(Array("runs", "a", "b", "c", "d")); None }
+              catch { case e: RuntimeException => Some(e.getMessage) }
+    assert(bad.exists(_.contains("unknown subcommand")), s"got: $bad")
 
     val check = org.apache.spark.sql.SparkSession.builder()
       .master("local[4]").config("spark.ui.enabled", "false").getOrCreate()

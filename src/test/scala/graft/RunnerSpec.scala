@@ -149,6 +149,33 @@ class RunnerSpec extends AnyFunSuite {
     assert(ids.size == 2)
   }
 
+  test("per-check datasource pinning: a check runs only on its own " +
+    "datasources (reference models.py:81, runner:26-37)") {
+    val tmp = java.nio.file.Files.createTempDirectory("pinned").toString
+    val cfg = ConfigLoader.parseYaml(
+      """checks:
+        |  - {name: everywhere, dataset: sales, type: row_count,
+        |     condition: gt, threshold: 0}
+        |  - {name: only ds1, dataset: sales, type: row_count,
+        |     condition: gt, threshold: 0, datasource: ds1}
+        |  - {name: ds1 and ds2, dataset: sales, type: row_count,
+        |     condition: gt, threshold: 0, datasource: [ds1, ds2]}
+        |""".stripMargin)
+    val store = new MetricsStore(s"$tmp/metrics")
+    val results = Runner.runAll(cfg, spark,
+      Map("ds1" -> Map("sales" -> sales),
+        "ds2" -> Map("sales" -> sales),
+        "ds3" -> Map("sales" -> sales)),
+      store, "runP", java.sql.Timestamp.valueOf("2024-06-01 00:00:00"))
+    assert(results.map(_.total) == Seq(3, 2, 1)) // ds1, ds2, ds3
+    val byDs = store.read(spark).select("datasource", "name").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(byDs == Set(
+      ("ds1", "everywhere"), ("ds1", "only ds1"), ("ds1", "ds1 and ds2"),
+      ("ds2", "everywhere"), ("ds2", "ds1 and ds2"),
+      ("ds3", "everywhere")))
+  }
+
   test("strict mode: empty results / NULL actual value raise " +
     "(reference drivers/base.py:67-70)") {
     val tmp = java.nio.file.Files.createTempDirectory("strict").toString

@@ -44,13 +44,6 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
-  /** Best of `n` timed runs — the sandbox is a shared VM with noisy
-    * neighbors (observed 2x run-to-run swings on identical code); the
-    * minimum is the least-contended estimate of the code's own cost.
-    */
-  private def med(n: Int)(body: => Unit): Double =
-    (1 to n).map(_ => time(body)).min
-
   // headline operators: the quality-filter pipeline + the scale-critical ops
   private val headline = Seq(
     "pipeline_full", "pipeline_verdict", "scrub_pii",
@@ -138,15 +131,31 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     // ---- headline per-query timings at local[32] ----
+    // Protocol (round-3 fix for unattributable per-query regressions):
+    // three INTERLEAVED passes over the whole query list (a neighbor
+    // burst lands on different queries each pass instead of sinking all
+    // three runs of one query), a one-sided outlier retry per run (same
+    // rule as the scaling phase: >2.5x the arm's best = neighbor burst,
+    // retry once, keep the min), and ALU probes bracketing the phase so
+    // the host's momentary speed is recorded IN the headline windows.
     val s32 = session(32)
     val baseDocs = s32.read.parquet(s"$sfDir/documents.parquet").count()
     val docCount = baseDocs * replication
     // one warm-up of the flagship to exclude JVM/codegen first-run cost
     force(SparkEntry.queries("pipeline_full")(s32, sfDir))
-    val results = headline.map { name =>
+    val headlineGopsBefore = gops(32, 100000000L)
+    val bestByQuery = scala.collection.mutable.Map.empty[String, Double]
+      .withDefaultValue(Double.MaxValue)
+    def runQuery(name: String): Unit = {
       val fn = SparkEntry.queries(name)
-      name -> med(3) { force(fn(s32, sfDir)) }
+      var t = time { force(fn(s32, sfDir)) }
+      if (t > 2.5 * bestByQuery(name))
+        t = math.min(t, time { force(fn(s32, sfDir)) })
+      bestByQuery(name) = math.min(bestByQuery(name), t)
     }
+    (1 to 3).foreach(_ => headline.foreach(runQuery))
+    val headlineGopsAfter = gops(32, 100000000L)
+    val results = headline.map(name => name -> bestByQuery(name))
     val rawTexts = s32.read.parquet(s"$sfDir/documents.parquet")
       .select("text").collect().map(_.getString(0))
     s32.stop()
@@ -242,10 +251,15 @@ object Bench {
     // neighbors only SLOW a run, so each arm's best run across spread-out
     // windows is its closest approach to the un-contended time)
     val efficiency832 = (pipelineSec8 / pipelineSec32) / 4.0
-    // headline N->4N efficiency = the low-occupancy (cluster-faithful)
-    // measurement; the saturated-box number, median ratios, raw ratios,
-    // and the ALU/raw-code probes are all reported alongside
-    val efficiency = effQ
+    // `efficiency` keeps its ROUND-1 MEANING: saturated-box local[8] ->
+    // local[32], best-per-arm (round 2 briefly re-pointed this key at the
+    // low-occupancy measurement, which silently changed the metric under
+    // the gate's nose — the low-occupancy, cluster-faithful number now
+    // lives under its OWN key, efficiency_low_occupancy, and the
+    // ALU-normalized ratio separates code scaling from host contention:
+    // >= 1.0 means the job scaled at least as well as the box itself did
+    // in the same windows)
+    val efficiency = efficiency832
     val docsPerSec32 = docCount / pipelineSec32
     val docsPerSec8 = docCount / pipelineSec8
 
@@ -264,11 +278,14 @@ object Bench {
       s""""local32_docs_per_sec":${f"$docsPerSec32%.1f"},""" +
       s""""local8_sec":${f"$pipelineSec8%.4f"},"local32_sec":${f"$pipelineSec32%.4f"},""" +
       s""""efficiency":${f"$efficiency%.3f"},""" +
-      s""""efficiency_note":"N-to-4N at low occupancy (local[2] vs local[8], quarter corpus) -- the cluster-faithful measurement; see BENCH.md",""" +
+      s""""efficiency_note":"saturated-box local[8]->local[32] best-per-arm (round-1 metric definition); the cluster-faithful low-occupancy N->4N and the ALU-normalized ratio are reported under their own keys -- see BENCH.md",""" +
+      s""""efficiency_alu_normalized":${f"${efficiency832 / cpuEff}%.3f"},""" +
+      s""""efficiency_low_occupancy":${f"$effQ%.3f"},""" +
       s""""low_occupancy_pair_ratios":[${effQratios.map(e => f"$e%.3f").mkString(",")}],""" +
-      s""""efficiency_8_32_saturated_box":${f"$efficiency832%.3f"},""" +
       s""""efficiency_8_32_median_pair":${f"$efficiencyMedian%.3f"},""" +
       s""""pair_ratios_8_32":[${effs.map(e => f"$e%.3f").mkString(",")}],""" +
+      s""""headline_gops_before":${f"$headlineGopsBefore%.2f"},""" +
+      s""""headline_gops_after":${f"$headlineGopsAfter%.2f"},""" +
       s""""raw_code_docs_per_sec_8":${f"$raw8%.1f"},""" +
       s""""raw_code_docs_per_sec_32":${f"$raw32%.1f"},""" +
       s""""raw_code_efficiency":${f"$rawEff%.3f"},""" +

@@ -298,7 +298,21 @@ object SparkEntry {
     // the identical set brute-force
     // maxBucketSize 600 > the 500-doc oracle corpus, so the gate compares
     // pure full-expansion output; bigger corpora (sf0.1 bench) star-expand
-    // hot buckets instead of quadratically exploding
+    // hot buckets instead of quadratically exploding.
+    //
+    // CORPUS-MARGIN ASSUMPTION (what makes equality vs the brute-force
+    // oracle below a fair gate): LSH banding is probabilistic — a pair at
+    // jaccard just above 0.5 is missed with prob (1-0.5^4)^16 ≈ 0.36 under
+    // 16 bands x 4 rows. The gate holds because the synthetic corpus has
+    // no borderline pairs: its near-dup pairs are seeded high-overlap
+    // mutations (observed est_jaccard >= 0.9, where the miss prob is
+    // (1-0.9^4)^16 ≈ 2e-9) and everything else sits far below 0.5. On a
+    // corpus WITH borderline pairs the correct expectation is
+    // Spark ⊆ oracle (LSH may legitimately miss near-threshold pairs) —
+    // that containment (plus exactness of every emitted jaccard) is what
+    // LSH guarantees, and DedupSpec asserts the recall property
+    // separately. A gate break here after a corpus change means the
+    // margin assumption broke, not necessarily the code.
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshDedup(tp(s, dir, "documents"), "doc_id", "text",
         jaccardThreshold = 0.5, maxBucketSize = 600)

@@ -42,9 +42,22 @@ object FusedScorer {
   *
   * `deterministic = false` is load-bearing: it stops CollapseProject from
   * inlining this expression once per extracted struct field (5 fused
-  * evaluations per row instead of 1). The expression IS functionally
-  * deterministic — a pure function of the text — so lineage/resume
-  * invariants are unaffected.
+  * evaluations per row instead of 1; PlanSpec asserts single evaluation).
+  * The expression IS functionally deterministic — a pure function of the
+  * text — so lineage/resume invariants are unaffected.
+  *
+  * KNOWN TRADEOFF of the flag: Catalyst also refuses to move other
+  * operators across a nondeterministic projection, so a LATER filter on a
+  * passthrough column (e.g. `.filter(col("url").startsWith(...))` applied
+  * AFTER QualityFilter.run) will not push down past this projection to
+  * the scan — filter before the pipeline if scan pruning matters. The
+  * principled alternative is Spark's common-expression (`With`)
+  * mechanism, but it shares subexpressions WITHIN one expression tree
+  * only — the 5 struct-field extractions here are separate expressions of
+  * one Project, which `With` cannot span; spanning them needs a custom
+  * optimizer rule that materializes the shared struct into its own
+  * Project (a candidate for GraftExtensions if the pushdown loss ever
+  * bites). See README "Fused expression" note.
   */
 case class FusedMeasuresExpr(child: Expression, models: Boolean)
     extends UnaryExpression {

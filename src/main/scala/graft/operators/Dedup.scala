@@ -288,7 +288,14 @@ object Dedup {
                       jaccardThreshold: Double = 0.8,
                       shingleN: Int = 3,
                       maxBucketSize: Int = 1000): DataFrame = {
-    val (reps, links) = collapseExact(df, keyCol, textCol)
+    // persist the collapsed representatives: they feed signature
+    // generation, the verify-stage shingle projection and the link join —
+    // without it each consumer re-runs the collapse aggregate (which
+    // shuffles one text copy per distinct fingerprint). Materializing the
+    // collapsed corpus is the standard checkpoint of a production dedup
+    // DAG; at cluster scale this would be an explicit storage checkpoint.
+    val (reps0, links) = collapseExact(df, keyCol, textCol)
+    val reps = reps0.persist()
     // persist: the candidate set is referenced three times below (two
     // verify joins + the key-set prefilter); it is O(near-dup pairs) —
     // tiny relative to the corpus — so materializing it once is cheap
@@ -384,7 +391,10 @@ object Dedup {
   def simhashDedup(df: DataFrame, keyCol: String, textCol: String,
                    maxHamming: Int = 3,
                    maxBucketSize: Int = 1000): DataFrame = {
-    val (reps, links) = collapseExact(df, keyCol, textCol)
+    // same materialization point as minhashLshDedup: reps feeds both the
+    // pigeonhole pair stage and the link join
+    val (reps0, links) = collapseExact(df, keyCol, textCol)
+    val reps = reps0.persist()
     simhashPairs(reps, keyCol, textCol, maxHamming, maxBucketSize)
       .unionByName(links.withColumn("hamming", lit(0)))
   }

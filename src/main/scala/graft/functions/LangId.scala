@@ -11,9 +11,18 @@ package graft.functions
   */
 object LangId extends Serializable {
 
-  val langs: Array[String] = Array("en", "es", "fr", "de", "zh")
+  val langs: Array[String] =
+    Array("en", "es", "fr", "de", "zh", "it", "pt", "nl", "ru", "ja")
 
-  /** Frozen seed corpora: the most common function words per language. */
+  /** Frozen seed corpora: the most common function words per language,
+    * plus (round 3) a band of high-frequency CONTENT words — a profile
+    * built only from function words under-represents documents that
+    * carry few of them (lists, titles, technical text), which let
+    * orthographically-light neighbors (it/pt vowel endings) outscore en
+    * on keyword-heavy English. The fixture corpus snapshots its own
+    * vocabulary (sources/GoldenCorpus.vocab), so enriching these does not
+    * rewrite fixture text.
+    */
   private[graft] val seeds: Map[String, String] = Map(
     "en" -> ("the be to of and a in that have it for not on with he as you " +
       "do at this but his by from they we say her she or an will my one all " +
@@ -21,30 +30,91 @@ object LangId extends Serializable {
       "make can like time no just him know take people into year your good " +
       "some could them see other than then now look only come its over think " +
       "also back after use two how our work first well way even new want " +
-      "because any these give day most us is was are been has had were said"),
+      "because any these give day most us is was are been has had were said " +
+      "world school state family student group country problem hand part " +
+      "place case week company system program question number night point " +
+      "home water room area money story fact month right study book word " +
+      "business side kind head house service power hour game line end " +
+      "member law city name team minute idea body information data level " +
+      "office door health person result change morning reason research"),
     "es" -> ("de la que el en y a los del se las por un para con no una su " +
       "al lo como más pero sus le ya o este sí porque esta entre cuando muy " +
       "sin sobre también me hasta hay donde quien desde todo nos durante " +
       "todos uno les ni contra otros ese eso ante ellos e esto mí antes " +
       "algunos qué unos yo otro otras otra él tanto esa estos mucho quienes " +
-      "nada muchos cual poco ella estar estas algunas algo nosotros"),
+      "nada muchos cual poco ella estar estas algunas algo nosotros " +
+      "tiempo vida día mundo casa hombre parte año país ciudad trabajo " +
+      "mujer caso cosa forma gobierno momento lugar manera semana historia " +
+      "agua noche familia persona mano grupo problema palabra punto hora"),
     "fr" -> ("de la le et les des en un du une que est pour qui dans a par " +
       "plus pas au sur ne se ce il sont la aux avec son ont cette mais ou où " +
       "leur elle si tout comme nous sa ses mais été sont être avoir fait " +
       "faire peut tous après autre bien deux même notre ans entre sans elle " +
       "très votre aussi celui dont leurs moins ceux eux quelques toutes " +
-      "toujours alors depuis donc quand encore vers chez quel quelle"),
+      "toujours alors depuis donc quand encore vers chez quel quelle " +
+      "temps vie monde jour maison homme année pays ville travail femme " +
+      "cas chose forme gouvernement moment lieu manière semaine histoire " +
+      "eau nuit famille personne main groupe problème mot point heure"),
     "de" -> ("der die und in den von zu das mit sich des auf für ist im dem " +
       "nicht ein eine als auch es an werden aus er hat dass sie nach wird " +
       "bei einer um am sind noch wie einem über einen so zum war haben nur " +
       "oder aber vor zur bis mehr durch man sein wurde sei während zwischen " +
       "immer wieder gegen vom ganz einzelnen wo muss ohne eines können sehr " +
-      "schon wenn hier alle diese seinem wäre ihren jahre mich"),
+      "schon wenn hier alle diese seinem wäre ihren jahre mich " +
+      "zeit leben welt tag haus mann jahr land stadt arbeit frau fall " +
+      "sache form regierung moment ort weise woche geschichte wasser " +
+      "nacht familie mensch hand gruppe problem wort punkt stunde kinder"),
     "zh" -> ("的一是在不了有和人这中大为上个国我以要他时来用们生到作地" +
       "于出就分对成会可主发年动同工也能下过子说产种面而方后多定行学法" +
       "所民得经十三之进着等部度家电力里如水化高自二理起小物现实加量都" +
       "两体制机当使点从业本去把性好应开它 我们的 他们在 一个人 这是一" +
-      "个 大的国家 在学校 中文和 学习的 他们的 我们在 是一个 有一个")
+      "个 大的国家 在学校 中文和 学习的 他们的 我们在 是一个 有一个"),
+    // round-3 depth expansion: five more languages (two new scripts).
+    // Same recipe — the language's most common function words, public
+    // frequency-list knowledge, frozen.
+    "it" -> ("di e il la che in a per un è non sono una con si da come le " +
+      "dei più nel alla ma lo se gli anche della questo sua suo loro ha " +
+      "hanno essere fare del i al negli sulla questi molto dove quando " +
+      "perché cosa tutti tutto ancora dopo prima senza sotto sopra tra fra " +
+      "può deve stato erano era così ogni altri altre quale quali mentre " +
+      "contro già sempre qui oggi anni anno casa vita tempo uomo parte " +
+      "mondo giorno modo città paese stesso quella quelle nella delle " +
+      "sono stati essere aveva fatto grande nuovo primo due tre volta"),
+    "pt" -> ("de a o que e do da em um para é com não uma os no se na por " +
+      "mais as dos como mas foi ao ele das tem à seu sua ou ser quando " +
+      "muito há nos já está eu também só pelo pela até isso ela entre era " +
+      "depois sem mesmo aos ter seus quem nas me esse eles estão você " +
+      "tinha foram essa num nem suas meu às minha têm numa pelos elas " +
+      "havia seja qual será nós tenho lhe deles essas esses pelas este " +
+      "fosse dele anos ano casa vida tempo homem parte mundo dia modo " +
+      // distinctively-Portuguese orthography (ção/lh/nh/ã — es uses ción,
+      // ll, ñ): without these the profile loses short pt text to es
+      "coração canção informação situação não então irmão mão manhã " +
+      "amanhã senhor senhora trabalho filho melhor mulher velho olhos " +
+      "conhecimento nação atenção opinião questão posição direção " +
+      "relação população região educação geração condições ações"),
+    "nl" -> ("de het een en van in is dat op te zijn voor met als niet aan " +
+      "er om door maar dan ook bij nog naar uit dit over hij wordt worden " +
+      "werd wel kan moet heeft hebben had geen meer al toen onder tussen " +
+      "tegen deze die ze we ik je hun na mijn zou kunnen veel waar hoe wat " +
+      "wie alle andere twee eerste nieuwe grote tijd jaar mensen werk land " +
+      "werden omdat zelf tot haar hem ons onze jullie zij iets niets " +
+      "alleen steeds altijd samen tijdens volgens vooral echter daarom"),
+    "ru" -> ("и в не на я что он с как это она по но они к у из за то все " +
+      "мы о так же бы был от для вот кто да его ему ни теперь когда уже " +
+      "если или него вы меня есть нет ещё только себя своей было были " +
+      "быть может очень при мне ей чем чтобы раз тоже себе под будет " +
+      "потом нас ним где даже ведь там здесь этот тот наш один два три " +
+      "человек время жизнь день год рука дело слово место лицо голова " +
+      "работа россия город страна мир дом сказал говорит между после"),
+    "ja" -> ("の に は を た が で て と し れ さ ある いる も する から " +
+      "な こと として い や など なっ ない この ため その あっ よう また " +
+      "もの という あり まで られ なる へ か だ これ によって により おり " +
+      "より による ず なり られる において ば なかっ なく しかし について " +
+      "せ だっ できる それ う ので なお のみ でき き つ における および " +
+      "いう さらに でも ら たり ます ん なら に対して 特に せる 及び " +
+      "これら とき では にて ほか ながら うち そして とともに ただし " +
+      "かつて それぞれ または 日本 年 月 日 人 大きな 小さな 新しい")
   )
 
   val dim: Int = 1 << 12

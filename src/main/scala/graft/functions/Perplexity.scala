@@ -1,19 +1,38 @@
 package graft.functions
 
-/** KenLM-style n-gram language-model perplexity, reduced to a character
-  * bigram model with add-one smoothing over a 128-symbol ASCII-folded
-  * alphabet. The count table is derived at class-init from the frozen
-  * LangId English seed corpus, so it is identical on every executor JVM
-  * (no broadcast, no files, fully deterministic).
+/** KenLM-style n-gram language-model perplexity: an interpolated character
+  * TRIGRAM model (round 3 — was a char bigram with add-one smoothing) over
+  * a 128-symbol ASCII-folded alphabet.
   *
-  * ppl(text) = exp(-1/N * sum_i log P(c_i | c_{i-1})). Natural-language
+  *   P(c | ab) = l3*P3_mle(c|ab) + l2*P2_mle(c|b) + l1*P1_addone(c)
+  *
+  * — the classic Jelinek-Mercer interpolation shape KenLM's backoff models
+  * approximate: the trigram term carries the orthographic signal where the
+  * context was seen, the bigram catches unseen trigram contexts, and the
+  * add-one unigram floor keeps every log finite (so no double smoothing of
+  * the higher orders, unlike the old add-one bigram whose probability mass
+  * was dominated by the smoothing prior for rare contexts).
+  *
+  * The tables are derived at class-init from the frozen multilingual
+  * LangId seed corpora (all ten languages; non-ASCII folds to one
+  * "unknown" symbol, which deliberately gives non-Latin scripts a
+  * well-trained degenerate band instead of a smoothing-floor blowup), so
+  * every executor JVM materializes identical weights — no broadcast, no
+  * model files, fully deterministic. The interpolated log-prob is
+  * precomputed per trigram: scoring stays ONE table lookup per character,
+  * exactly the cost of the old bigram model.
+  *
+  * ppl(text) = exp(-1/N * sum_i log P(c_i | c_{i-2} c_{i-1})). Natural
   * text lands in a low band; symbol soup / random strings score high —
-  * which is exactly how the quality filter consumes it (a `between` check,
-  * cf. reference condition semantics weiser/checks/base.py:62-69).
+  * which is how the quality filter consumes it (a `between` check, cf.
+  * reference condition semantics weiser/checks/base.py:62-69).
   */
 object Perplexity extends Serializable {
 
   private val V = 128
+  private val L3 = 0.6
+  private val L2 = 0.3
+  private val L1 = 0.1
 
   /** Map a char into the model alphabet: ASCII lowercased, everything
     * else folded to byte 1 (an "unknown" symbol).
@@ -23,28 +42,45 @@ object Perplexity extends Serializable {
     if (lc < 128) lc.toInt else 1
   }
 
-  private lazy val logProb: Array[Double] = {
-    val counts = Array.fill(V * V)(1.0) // add-one smoothing
-    val rowSum = Array.fill(V)(V.toDouble)
-    val corpus = " " + Seq("en", "es", "fr", "de")
-      .map(l => LangId.seeds(l)).mkString(" ") + " "
-    var i = 1
+  /** Precomputed log of the interpolated trigram probability, indexed
+    * (a*V + b)*V + c. 128^3 floats = 8 MB, shared per JVM.
+    */
+  private lazy val logProb: Array[Float] = {
+    val c3 = new Array[Int](V * V * V)
+    val c2 = new Array[Int](V * V)
+    val c1 = new Array[Int](V)
+    val corpus = "  " + LangId.langs.map(LangId.seeds).mkString(" ") + " "
+    var i = 2
     while (i < corpus.length) {
-      val a = sym(corpus.charAt(i - 1))
-      val b = sym(corpus.charAt(i))
-      counts(a * V + b) += 1.0
-      rowSum(a) += 1.0
+      val a = sym(corpus.charAt(i - 2))
+      val b = sym(corpus.charAt(i - 1))
+      val c = sym(corpus.charAt(i))
+      c3((a * V + b) * V + c) += 1
+      c2(b * V + c) += 1
+      c1(c) += 1
       i += 1
     }
-    val lp = new Array[Double](V * V)
-    var a = 0
-    while (a < V) {
-      var b = 0
-      while (b < V) {
-        lp(a * V + b) = math.log(counts(a * V + b) / rowSum(a))
-        b += 1
+    // context totals for the MLE terms
+    val ctx3 = new Array[Int](V * V)
+    var j = 0
+    while (j < c3.length) { ctx3(j / V) += c3(j); j += 1 }
+    val ctx2 = new Array[Int](V)
+    j = 0
+    while (j < c2.length) { ctx2(j / V) += c2(j); j += 1 }
+    val n1 = c1.sum
+    val lp = new Array[Float](V * V * V)
+    var ab = 0
+    while (ab < V * V) {
+      val b = ab % V
+      var c = 0
+      while (c < V) {
+        val p3 = if (ctx3(ab) > 0) c3(ab * V + c).toDouble / ctx3(ab) else 0.0
+        val p2 = if (ctx2(b) > 0) c2(b * V + c).toDouble / ctx2(b) else 0.0
+        val p1 = (c1(c) + 1.0) / (n1 + V) // add-one floor keeps log finite
+        lp(ab * V + c) = math.log(L3 * p3 + L2 * p2 + L1 * p1).toFloat
+        c += 1
       }
-      a += 1
+      ab += 1
     }
     lp
   }
@@ -54,18 +90,20 @@ object Perplexity extends Serializable {
     */
   def perplexity(text: String): Double = {
     if (text == null || text.isEmpty) return 1e9
-    // virtual " text " padding — no per-document copy (allocation rate is
+    // virtual "  text " padding — no per-document copy (allocation rate is
     // the pipeline's scaling ceiling at 32 threads, not arithmetic)
     var sum = 0.0
-    var prev = ' '.toInt
+    var p2 = ' '.toInt
+    var p1 = ' '.toInt
     var i = 0
     while (i < text.length) {
       val cur = sym(text.charAt(i))
-      sum += logProb(prev * V + cur)
-      prev = cur
+      sum += logProb((p2 * V + p1) * V + cur)
+      p2 = p1
+      p1 = cur
       i += 1
     }
-    sum += logProb(prev * V + ' '.toInt)
+    sum += logProb((p2 * V + p1) * V + ' '.toInt)
     math.exp(-sum / (text.length + 1))
   }
 }

@@ -69,14 +69,45 @@ object Scrub {
       (java.util.regex.Pattern.compile(p), r)
     }.toArray
 
-  /** Case-insensitive ASCII substring scan, allocation-free. */
-  private def containsIgnoreCase(t: String, needle: String): Boolean = {
-    val n = needle.length
+  /** Single-pass multi-needle guard: ONE scan over the text checking each
+    * adjacent lowercase pair against the needles' two-char prefixes (a
+    * 26x26 table), verifying the full needle only on a prefix hit. The
+    * per-needle formulation was |lexicon| scans per document — the guard,
+    * not the regexes, dominated scrub cost on clean text once the lexicon
+    * grew past a handful of words. Still a pure necessary-condition test:
+    * a prefix miss can only occur when no needle occurs.
+    */
+  private val prefixNeedles: Array[Array[String]] = {
+    val t = new Array[Array[String]](26 * 26)
+    toxicityWords.groupBy(w => (w.charAt(0) - 'a') * 26 + (w.charAt(1) - 'a'))
+      .foreach { case (idx, ws) => t(idx) = ws.toArray }
+    t
+  }
+
+  private def containsAnyNeedle(t: String): Boolean = {
     var i = 0
-    while (i <= t.length - n) {
-      var j = 0
-      while (j < n && Character.toLowerCase(t.charAt(i + j)) == needle.charAt(j)) j += 1
-      if (j == n) return true
+    val n = t.length
+    while (i < n - 1) {
+      val a = Character.toLowerCase(t.charAt(i))
+      if (a >= 'a' && a <= 'z') {
+        val b = Character.toLowerCase(t.charAt(i + 1))
+        if (b >= 'a' && b <= 'z') {
+          val ns = prefixNeedles((a - 'a') * 26 + (b - 'a'))
+          if (ns != null) {
+            var k = 0
+            while (k < ns.length) {
+              val w = ns(k)
+              if (i + w.length <= n) {
+                var j = 2
+                while (j < w.length &&
+                  Character.toLowerCase(t.charAt(i + j)) == w.charAt(j)) j += 1
+                if (j == w.length) return true
+              }
+              k += 1
+            }
+          }
+        }
+      }
       i += 1
     }
     false
@@ -104,7 +135,7 @@ object Scrub {
       var k = 1
       while (k < 5) { t = compiled(k)._1.matcher(t).replaceAll(compiled(k)._2); k += 1 }
     }
-    if (toxicityWords.exists(w => containsIgnoreCase(t, w)))
+    if (containsAnyNeedle(t))
       t = compiled(5)._1.matcher(t).replaceAll(compiled(5)._2)
     t
   }

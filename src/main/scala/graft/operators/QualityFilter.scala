@@ -64,7 +64,11 @@ object QualityFilter {
     RowRule("max_word_repetition", "word_repetition_ratio", Condition.Le, Left(0.95)),
     RowRule("max_dup_2gram", "dup_2gram_fraction", Condition.Le, Left(0.5)),
     RowRule("max_dup_line_fraction", "dup_line_fraction", Condition.Le, Left(0.3)),
-    RowRule("perplexity_band", "ppl", Condition.Between, Right((2.0, 200.0))),
+    // band re-frozen for the round-3 interpolated trigram LM (sharper
+    // model => lower natural-text ppl): fixture prose spans 1.9-8.4
+    // (non-Latin scripts fold to the degenerate low end), code blocks
+    // start at ~390, symbol soup at ~4400
+    RowRule("perplexity_band", "ppl", Condition.Between, Right((1.3, 300.0))),
     RowRule("min_langid_score", "langid_score", Condition.Ge, Left(0.15))
   )
 

@@ -19,19 +19,104 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - empty / whitespace-only
   *  - PII-laced prose (emails/phones/IPs/SSNs/CCs) for scrub byte-identity
   *  - multi-byte UTF-8 + surrogate-pair content
+  *  - (idx >= 240) web-junk: nav-menu boilerplate, code blocks
+  *  - (idx >= 280) clean prose in the round-3 depth languages
+  *    (it/pt/nl/ru/ja — two extra scripts)
   */
 object GoldenCorpus {
 
   private val langs = Array("en", "es", "fr", "de", "zh")
 
+  /** Round-3 langid depth languages: fixture classes appended past index
+    * 280 so every earlier document (and its committed label) stays
+    * byte-stable.
+    */
+  private val extraLangs = Array("it", "pt", "nl", "ru", "ja")
+
+  /** FROZEN fixture vocabularies — a snapshot of the LangId seed corpora
+    * as of round 3, deliberately NOT a reference to LangId.seeds: the
+    * model's seeds may be enriched as the scorer deepens, and model
+    * tuning must never rewrite the fixture corpus the committed golden
+    * labels describe (text here is part of the golden contract — scrub
+    * md5s are byte-pinned per url).
+    */
+  private val vocab: Map[String, String] = Map(
+    "en" -> ("the be to of and a in that have it for not on with he as you " +
+      "do at this but his by from they we say her she or an will my one all " +
+      "would there their what so up out if about who get which go me when " +
+      "make can like time no just him know take people into year your good " +
+      "some could them see other than then now look only come its over think " +
+      "also back after use two how our work first well way even new want " +
+      "because any these give day most us is was are been has had were said"),
+    "es" -> ("de la que el en y a los del se las por un para con no una su " +
+      "al lo como más pero sus le ya o este sí porque esta entre cuando muy " +
+      "sin sobre también me hasta hay donde quien desde todo nos durante " +
+      "todos uno les ni contra otros ese eso ante ellos e esto mí antes " +
+      "algunos qué unos yo otro otras otra él tanto esa estos mucho quienes " +
+      "nada muchos cual poco ella estar estas algunas algo nosotros"),
+    "fr" -> ("de la le et les des en un du une que est pour qui dans a par " +
+      "plus pas au sur ne se ce il sont la aux avec son ont cette mais ou où " +
+      "leur elle si tout comme nous sa ses mais été sont être avoir fait " +
+      "faire peut tous après autre bien deux même notre ans entre sans elle " +
+      "très votre aussi celui dont leurs moins ceux eux quelques toutes " +
+      "toujours alors depuis donc quand encore vers chez quel quelle"),
+    "de" -> ("der die und in den von zu das mit sich des auf für ist im dem " +
+      "nicht ein eine als auch es an werden aus er hat dass sie nach wird " +
+      "bei einer um am sind noch wie einem über einen so zum war haben nur " +
+      "oder aber vor zur bis mehr durch man sein wurde sei während zwischen " +
+      "immer wieder gegen vom ganz einzelnen wo muss ohne eines können sehr " +
+      "schon wenn hier alle diese seinem wäre ihren jahre mich"),
+    "zh" -> ("的一是在不了有和人这中大为上个国我以要他时来用们生到作地" +
+      "于出就分对成会可主发年动同工也能下过子说产种面而方后多定行学法" +
+      "所民得经十三之进着等部度家电力里如水化高自二理起小物现实加量都" +
+      "两体制机当使点从业本去把性好应开它 我们的 他们在 一个人 这是一" +
+      "个 大的国家 在学校 中文和 学习的 他们的 我们在 是一个 有一个"),
+    "it" -> ("di e il la che in a per un è non sono una con si da come le " +
+      "dei più nel alla ma lo se gli anche della questo sua suo loro ha " +
+      "hanno essere fare del i al negli sulla questi molto dove quando " +
+      "perché cosa tutti tutto ancora dopo prima senza sotto sopra tra fra " +
+      "può deve stato erano era così ogni altri altre quale quali mentre " +
+      "contro già sempre qui oggi anni anno casa vita tempo uomo parte " +
+      "mondo giorno modo città paese stesso quella quelle nella delle " +
+      "sono stati essere aveva fatto grande nuovo primo due tre volta"),
+    "pt" -> ("de a o que e do da em um para é com não uma os no se na por " +
+      "mais as dos como mas foi ao ele das tem à seu sua ou ser quando " +
+      "muito há nos já está eu também só pelo pela até isso ela entre era " +
+      "depois sem mesmo aos ter seus quem nas me esse eles estão você " +
+      "tinha foram essa num nem suas meu às minha têm numa pelos elas " +
+      "havia seja qual será nós tenho lhe deles essas esses pelas este " +
+      "fosse dele anos ano casa vida tempo homem parte mundo dia modo"),
+    "nl" -> ("de het een en van in is dat op te zijn voor met als niet aan " +
+      "er om door maar dan ook bij nog naar uit dit over hij wordt worden " +
+      "werd wel kan moet heeft hebben had geen meer al toen onder tussen " +
+      "tegen deze die ze we ik je hun na mijn zou kunnen veel waar hoe wat " +
+      "wie alle andere twee eerste nieuwe grote tijd jaar mensen werk land " +
+      "werden omdat zelf tot haar hem ons onze jullie zij iets niets " +
+      "alleen steeds altijd samen tijdens volgens vooral echter daarom"),
+    "ru" -> ("и в не на я что он с как это она по но они к у из за то все " +
+      "мы о так же бы был от для вот кто да его ему ни теперь когда уже " +
+      "если или него вы меня есть нет ещё только себя своей было были " +
+      "быть может очень при мне ей чем чтобы раз тоже себе под будет " +
+      "потом нас ним где даже ведь там здесь этот тот наш один два три " +
+      "человек время жизнь день год рука дело слово место лицо голова " +
+      "работа россия город страна мир дом сказал говорит между после"),
+    "ja" -> ("の に は を た が で て と し れ さ ある いる も する から " +
+      "な こと として い や など なっ ない この ため その あっ よう また " +
+      "もの という あり まで られ なる へ か だ これ によって により おり " +
+      "より による ず なり られる において ば なかっ なく しかし について " +
+      "せ だっ できる それ う ので なお のみ でき き つ における および " +
+      "いう さらに でも ら たり ます ん なら に対して 特に せる 及び " +
+      "これら とき では にて ほか ながら うち そして とともに ただし " +
+      "かつて それぞれ または 日本 年 月 日 人 大きな 小さな 新しい")
+  )
+
   private def words(lang: String): Array[String] =
     if (lang == "zh")
-      // zh seed is partly unsegmented: the fixture inventory is its single
+      // zh vocab is partly unsegmented: the fixture inventory is its single
       // characters (space-delimited zh text, segmented-corpus shape)
-      graft.functions.LangId.seeds("zh").replaceAll("\\s", "")
-        .toCharArray.map(_.toString).distinct
+      vocab("zh").replaceAll("\\s", "").toCharArray.map(_.toString).distinct
     else
-      graft.functions.LangId.seeds(lang).split("\\s+").filter(_.nonEmpty)
+      vocab(lang).split("\\s+").filter(_.nonEmpty)
 
   /** One document, deterministically, from its index. Indexes >= 240 are
     * the round-2 web-junk classes (boilerplate nav menus, code blocks) —
@@ -40,12 +125,18 @@ object GoldenCorpus {
     */
   def doc(i: Int): (String, String, String) = {
     val rnd = new scala.util.Random(i.toLong * 7919 + 42)
-    val lang = langs(i % langs.length)
+    val lang =
+      if (i >= 280) extraLangs((i - 280) % extraLangs.length)
+      else langs(i % langs.length)
     val ws = words(lang)
     def sentence(n: Int): String =
       (0 until n).map(_ => ws(rnd.nextInt(ws.length))).mkString(" ")
-    val cls = if (i >= 240) 12 + (i % 2) else i % 12
+    val cls =
+      if (i >= 280) 14          // clean prose in the round-3 languages
+      else if (i >= 240) 12 + (i % 2)
+      else i % 12
     val text = cls match {
+      case 14 => sentence(40 + rnd.nextInt(300))
       case 12 => // boilerplate nav menu: duplicated link rows, no prose
         val items = Array("Home", "About", "Products", "Services", "Blog",
           "Careers", "Contact", "Login", "Register", "Privacy", "Terms")
@@ -87,7 +178,7 @@ object GoldenCorpus {
     (s"https://fixture.example.com/doc/$i", text, lang)
   }
 
-  def generate(spark: SparkSession, n: Int = 280): DataFrame = {
+  def generate(spark: SparkSession, n: Int = 330): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     spark.createDataset((0 until n).map(doc))

@@ -78,7 +78,7 @@ class GoldenSpec extends AnyFunSuite {
       .select(col("url"), col("keep"), col("fail_reasons")).collect()
       .map(r => r.getString(0).split("/").last.toInt ->
         ((r.getBoolean(1), r.getSeq[String](2))))
-      .filter(_._1 >= 240)
+      .filter(p => p._1 >= 240 && p._1 < 280)
     assert(v.length == 40)
     v.foreach { case (idx, (keep, reasons)) =>
       assert(!keep, s"web-junk doc $idx kept (reasons=$reasons)")
@@ -98,7 +98,7 @@ class GoldenSpec extends AnyFunSuite {
       .select(col("url"), col("lang"), col("lang_pred")).collect()
     val prose = v.filter { r =>
       val idx = r.getString(0).split("/").last.toInt
-      idx < 240 && idx % 12 <= 5
+      (idx < 240 && idx % 12 <= 5) || idx >= 280 // incl. round-3 languages
     }
     val acc = prose.count(r => r.getString(1) == r.getString(2)).toDouble /
       prose.length

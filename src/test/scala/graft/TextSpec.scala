@@ -106,6 +106,12 @@ class ModelSpec extends AnyFunSuite {
     assert(LangId.predict("le chat est dans la maison avec les enfants du quartier")._1 == "fr")
     assert(LangId.predict("der Hund und die Katze sind in dem Haus mit den Kindern")._1 == "de")
     assert(LangId.predict("我们的房子很大，他们在学校学习中文和数学")._1 == "zh")
+    // round-3 depth languages (two extra scripts)
+    assert(LangId.predict("la casa è molto grande e i bambini sono a scuola con gli altri")._1 == "it")
+    assert(LangId.predict("não há nada melhor do que uma canção no coração durante a manhã")._1 == "pt")
+    assert(LangId.predict("het huis is erg groot en de kinderen zijn op school met hun vrienden")._1 == "nl")
+    assert(LangId.predict("наш дом очень большой и дети учатся в школе с друзьями")._1 == "ru")
+    assert(LangId.predict("この家はとても大きくて子供たちは学校で勉強しています")._1 == "ja")
   }
 
   test("langid invariant under whitespace padding; empty => und") {

@@ -319,6 +319,17 @@ object SparkEntry {
         .select(col("key_a"), col("key_b"),
           round(col("jaccard"), 6).as("jaccard"))),
 
+    // dup-graph -> dedup DECISIONS: hash-min connected components over
+    // the minhash dup graph; every doc gets (cluster_id, keep). Oracle is
+    // the recursive-SQL transitive closure of the same graph.
+    "dedup_clusters" -> ((s, dir) => {
+      val docs = tp(s, dir, "documents")
+      val pairs = Dedup.minhashLshDedup(docs, "doc_id", "text",
+        jaccardThreshold = 0.5, maxBucketSize = 600)
+        .select("key_a", "key_b")
+      Dedup.dedupDecisions(docs, pairs, "doc_id")
+    }),
+
     // dup graph via simhash: links (hamming 0) + ALL representative pairs
     // within hamming<=3 — pigeonhole candidates are exhaustive, so the
     // oracle's brute-force FNV/simhash in SQL reproduces the exact set
@@ -454,6 +465,27 @@ object SparkEntry {
        |            ($docWords)[i+1] || ' ' ||
        |            ($docWords)[i+2]))
        |END""".stripMargin
+
+  /** Shared CTE chain building the minhash dup graph (exact-dup links +
+    * inverted-index pair candidates with exact jaccard terms) — used by
+    * the dedup_minhash_lsh and dedup_clusters oracles.
+    */
+  private val minhashGraphCtes: String =
+    s"""fp AS (SELECT doc_id, coalesce(text, '') AS text,
+       |         md5(coalesce(text, '')) AS f FROM documents),
+       |g AS (SELECT f, min(doc_id) AS rep FROM fp GROUP BY f),
+       |links AS (SELECT g.rep AS key_a, fp.doc_id AS key_b,
+       |            1.0::DOUBLE AS jaccard
+       |          FROM fp JOIN g USING (f) WHERE fp.doc_id <> g.rep),
+       |reps AS (SELECT fp.doc_id, fp.text FROM fp JOIN g
+       |         ON fp.f = g.f AND fp.doc_id = g.rep),
+       |d AS (SELECT doc_id, $docShingles AS shs FROM reps),
+       |inv AS (SELECT doc_id, len(shs) AS n_sh, unnest(shs) AS sh FROM d),
+       |pairs AS (
+       |  SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+       |         a.n_sh AS na, b.n_sh AS nb, count(*) AS inter
+       |  FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3, 4)""".stripMargin
 
   private val pipelineVerdictSql: String =
     s"""WITH $pagesCte,
@@ -767,25 +799,29 @@ object SparkEntry {
     // (any pair with jaccard >= 0.5 shares >= 1 shingle, so the inverted
     // join loses nothing vs all-pairs)
     "dedup_minhash_lsh" ->
-      s"""WITH fp AS (SELECT doc_id, coalesce(text, '') AS text,
-         |              md5(coalesce(text, '')) AS f FROM documents),
-         |g AS (SELECT f, min(doc_id) AS rep FROM fp GROUP BY f),
-         |links AS (SELECT g.rep AS key_a, fp.doc_id AS key_b,
-         |            1.0::DOUBLE AS jaccard
-         |          FROM fp JOIN g USING (f) WHERE fp.doc_id <> g.rep),
-         |reps AS (SELECT fp.doc_id, fp.text FROM fp JOIN g
-         |         ON fp.f = g.f AND fp.doc_id = g.rep),
-         |d AS (SELECT doc_id, $docShingles AS shs FROM reps),
-         |inv AS (SELECT doc_id, len(shs) AS n_sh, unnest(shs) AS sh FROM d),
-         |pairs AS (
-         |  SELECT a.doc_id AS key_a, b.doc_id AS key_b,
-         |         a.n_sh AS na, b.n_sh AS nb, count(*) AS inter
-         |  FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2, 3, 4)
+      s"""WITH $minhashGraphCtes
          |SELECT key_a, key_b,
          |  round(inter::DOUBLE / (na + nb - inter)::DOUBLE, 6) AS jaccard
          |FROM pairs WHERE inter::DOUBLE / (na + nb - inter)::DOUBLE >= 0.5
          |UNION ALL SELECT * FROM links""".stripMargin,
+
+    // transitive closure of the dup graph in recursive SQL (tiny oracle
+    // corpus): min reachable key per node = the cluster id hash-min
+    // label propagation converges to
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashGraphCtes,
+         |edges0 AS (
+         |  SELECT key_a, key_b FROM pairs
+         |  WHERE inter::DOUBLE / (na + nb - inter)::DOUBLE >= 0.5
+         |  UNION ALL SELECT key_a, key_b FROM links),
+         |sym AS (SELECT key_a AS a, key_b AS b FROM edges0
+         |        UNION SELECT key_b, key_a FROM edges0),
+         |cc AS (SELECT a AS node, a AS lbl FROM sym
+         |       UNION SELECT e.b, cc.lbl FROM cc JOIN sym e ON e.a = cc.node),
+         |m AS (SELECT node, min(lbl) AS lbl FROM cc GROUP BY node)
+         |SELECT doc_id, coalesce(m.lbl, doc_id) AS cluster_id,
+         |  coalesce(m.lbl, doc_id) = doc_id AS keep
+         |FROM documents LEFT JOIN m ON m.node = doc_id""".stripMargin,
 
     // brute-force simhash in SQL: FNV-1a 64 over each word's UTF-16 units
     // (HUGEINT arithmetic mod 2^64 reproduces JVM long wraparound exactly;

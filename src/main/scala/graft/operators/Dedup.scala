@@ -432,4 +432,70 @@ object Dedup {
   def embeddingPairs(df: DataFrame, keyCol: String, vecCol: String,
                      threshold: Double = 0.95): DataFrame =
     Similarity.cosinePairs(df, keyCol, vecCol, threshold)
+
+  /** Connected components over a dup-graph edge list: (node, cluster_id)
+    * with cluster_id = the minimum key reachable from the node. This is
+    * the step that turns the pair outputs above into dedup DECISIONS
+    * (keep cluster_id == node, drop the rest).
+    *
+    * Hash-min label propagation: each round every node takes the min of
+    * its own label and its neighbors' labels (one shuffle per round),
+    * stopping when a round changes nothing. Plain hash-min converges in
+    * O(graph diameter) rounds — usually the wrong algorithm for general
+    * graphs at scale (large-star/small-star halves that), but exactly the
+    * right one for THIS graph: [[collapseExact]] emits hub-and-spoke link
+    * rows and LSH pairs connect representatives directly, so dup-cluster
+    * diameter is small and bounded by construction (star expansion keeps
+    * even over-cap buckets at diameter <= 4). Each round's label state is
+    * persisted and the previous round unpersisted — the lineage does not
+    * grow with iterations.
+    */
+  def connectedComponents(pairs: DataFrame, keyA: String = "key_a",
+                          keyB: String = "key_b",
+                          maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(keyA).as("a"), col(keyB).as("b"))
+      .unionByName(pairs.select(col(keyB).as("a"), col(keyA).as("b")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("a").as("node"))
+      .distinct()
+      .withColumn("cluster_id", col("node"))
+      .persist()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // candidate labels: own label + min over neighbor labels
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("node", "b"), Seq("b"))
+        .select(col("a").as("node"), col("cluster_id"))
+      val next = labels.unionByName(viaNeighbor)
+        .groupBy(col("node"))
+        .agg(min(col("cluster_id")).as("cluster_id"))
+        .persist()
+      val changed = next.join(labels.withColumnRenamed("cluster_id", "old"),
+          Seq("node"))
+        .filter(col("cluster_id") =!= col("old"))
+        .limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    require(converged, s"connectedComponents did not converge in $maxIter " +
+      "rounds — graph diameter exceeds the dup-graph construction bound")
+    labels
+  }
+
+  /** Full dedup decision: every document labeled with its dup-cluster id
+    * and a keep flag (the cluster's minimum key survives). Documents in
+    * no pair are their own singleton cluster.
+    */
+  def dedupDecisions(df: DataFrame, pairs: DataFrame, keyCol: String): DataFrame = {
+    val cc = connectedComponents(pairs)
+    df.select(col(keyCol))
+      .join(cc.withColumnRenamed("node", keyCol), Seq(keyCol), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(keyCol)))
+      .withColumn("keep", col("cluster_id") === col(keyCol))
+  }
 }

@@ -121,6 +121,21 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.keys.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("connected components: chain convergence, singletons, min-key labels") {
+    // chain 1-2-3-4 (diameter 3 — forces multiple hash-min rounds),
+    // a separate pair {10,11}, and isolated docs 5/6
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L))
+      .toDF("key_a", "key_b")
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 6L, 10L, 11L).toDF("doc_id")
+    val out = graft.operators.Dedup.dedupDecisions(docs, pairs, "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    assert(out == Map(
+      1L -> ((1L, true)), 2L -> ((1L, false)), 3L -> ((1L, false)),
+      4L -> ((1L, false)), 5L -> ((5L, true)), 6L -> ((6L, true)),
+      10L -> ((10L, true)), 11L -> ((10L, false))))
+  }
+
   test("embedding near-dup pairs via LSH + cosine") {
     val vecs = Seq(
       (0L, Seq(1.0f, 0.0f, 0.0f, 0.2f)),

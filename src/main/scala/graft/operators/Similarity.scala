@@ -126,10 +126,59 @@ object Similarity {
     (assigned, centroids)
   }
 
+  /** K-means-refined IVF index: the md5-strided sample centroids of
+    * [[ivfIndex]] are tightened with `iters` distributed Lloyd rounds —
+    * assign each vector to its nearest centroid (narrow map, centroids
+    * broadcast as literals), recompute each cell's mean (one shuffle of
+    * k*dims partial sums via an explode-agg, O(k*dims) rows to the
+    * driver). Better-balanced cells mean a query's `probes` cells hold
+    * more of the true neighbors at the same scan fraction.
+    *
+    * Determinism note: the seed centroids and every assignment are exact
+    * deterministic expressions; the per-cell MEANS inherit Spark's
+    * partition-order float summation, so centroid bits can differ across
+    * partitionings in the last ulps — cell boundaries may shift on exact
+    * ties but reported scores are always exact cosines of the true
+    * vectors. Keep the untrained variant for bit-pinned oracle queries.
+    */
+  def ivfIndexTrained(df: DataFrame, keyCol: String, vecCol: String,
+                      k: Int = 16, iters: Int = 2)
+      : (DataFrame, Array[Array[Double]]) = {
+    val (_, seed) = ivfIndex(df, keyCol, vecCol, k)
+    var centroids = seed
+    var it = 0
+    while (it < iters) {
+      val cLit = array(centroids.map(c => array(c.map(lit): _*)): _*)
+      val scores = transform(cLit, c => cosine(col(vecCol), c))
+      val assigned = df.select(
+        (array_position(scores, array_max(scores)) - 1).as("__cell"),
+        col(vecCol).as("__v"))
+      val sums = assigned
+        .select(col("__cell"), posexplode(col("__v")).as(Seq("__p", "__x")))
+        .groupBy(col("__cell"), col("__p"))
+        .agg(sum(col("__x").cast(DoubleType)).as("__s"),
+          count(lit(1)).as("__n"))
+        .collect()
+      val next = Array.tabulate(centroids.length)(i => centroids(i).clone())
+      sums.foreach { r =>
+        val cell = r.getLong(0).toInt
+        next(cell)(r.getInt(1)) = r.getDouble(2) / r.getLong(3)
+      }
+      centroids = next // cells with no members keep their previous centroid
+      it += 1
+    }
+    val cLit = array(centroids.map(c => array(c.map(lit): _*)): _*)
+    val scores = transform(cLit, c => cosine(col(vecCol), c))
+    (df.withColumn("__cell",
+      array_position(scores, array_max(scores)) - 1), centroids)
+  }
+
   def ivfTopK(df: DataFrame, keyCol: String, vecCol: String,
               query: Seq[Double], topK: Int, k: Int = 16,
-              probes: Int = 4): DataFrame = {
-    val (indexed, centroids) = ivfIndex(df, keyCol, vecCol, k)
+              probes: Int = 4, trainIters: Int = 0): DataFrame = {
+    val (indexed, centroids) =
+      if (trainIters > 0) ivfIndexTrained(df, keyCol, vecCol, k, trainIters)
+      else ivfIndex(df, keyCol, vecCol, k)
     def cos(a: Array[Double], b: Seq[Double]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0
       var i = 0

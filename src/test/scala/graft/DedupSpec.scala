@@ -199,6 +199,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivf.map(_.getLong(0)).count(brute.contains) >= 5)
   }
 
+  test("k-means-refined IVF: recall at least matches the sampled index") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") === 7)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+    val brute = Similarity.bruteForceTopK(e, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    def recall(iters: Int): Double = {
+      val got = Similarity.ivfTopK(e, "vec_id", "embedding", q, 10,
+        k = 8, probes = 2, trainIters = iters)
+        .collect().map(_.getLong(0)).toSet
+      brute.intersect(got).size / 10.0
+    }
+    val untrained = recall(0)
+    val trained = recall(2)
+    assert(trained >= untrained - 0.1,
+      s"trained IVF recall $trained collapsed vs sampled $untrained")
+    // trained scores are still exact cosines (spot check vs brute force)
+    val bruteScores = Similarity.bruteForceTopK(e, "vec_id", "embedding",
+      q, 200).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    Similarity.ivfTopK(e, "vec_id", "embedding", q, 10, k = 8, probes = 2,
+      trainIters = 2).collect().foreach { r =>
+      assert(math.abs(bruteScores(r.getLong(0)) - r.getDouble(1)) < 1e-9)
+    }
+  }
+
   test("LSH buckets are deterministic across evaluations") {
     val dims = vecs.select(size(col("embedding"))).head().getInt(0)
     val b1 = vecs.select(Similarity.lshBucket(col("embedding"), 6, dims)).collect()

@@ -15,6 +15,7 @@ import graft.sources.{MetricsStore, SampleGenerator}
   *   graft.Main sample  <configYaml> <metricsDir> <checkName> [runId]
   *   graft.Main filter  <pagesDir> <outDir> <metricsDir> <runId>
   *                      [buckets] [configYaml]
+  *   graft.Main dedup   <docsParquet> <outDir> [jaccard] [keyCol] [textCol]
   *
   * `run` executes every check in the config against the parquet tables in
   * <tablesDir> (table name = file basename), appends metric rows, prints
@@ -134,6 +135,29 @@ object Main {
       val n = store.appendResumable(spark, hist)
       println(s"sample: seeded $n history rows for check '${check.name}' " +
         s"(check_id $checkId)")
+      spark.stop()
+
+    case Some("dedup") =>
+      // dup-graph dedup over a documents parquet: minhash+LSH candidate
+      // pairs, exact-jaccard verification, connected components ->
+      // (key, cluster_id, keep) decisions written to <outDir>
+      require(args.length >= 3,
+        "usage: graft.Main dedup <docsParquet> <outDir> [jaccard] [keyCol] [textCol]")
+      val threshold = if (args.length > 3) args(3).toDouble else 0.8
+      val keyCol = if (args.length > 4) args(4) else "doc_id"
+      val textCol = if (args.length > 5) args(5) else "text"
+      val spark = session("graft-dedup")
+      val docs = spark.read.parquet(args(1))
+      val pairs = graft.operators.Dedup.minhashLshDedup(
+        docs, keyCol, textCol, jaccardThreshold = threshold)
+        .select("key_a", "key_b")
+      val decisions = graft.operators.Dedup.dedupDecisions(docs, pairs, keyCol)
+      decisions.write.mode("overwrite").parquet(args(2))
+      val out = spark.read.parquet(args(2))
+      val total = out.count()
+      val dropped = out.filter(!col("keep")).count()
+      println(s"dedup complete: $total docs, $dropped duplicates dropped " +
+        s"(${total - dropped} kept) at jaccard >= $threshold")
       spark.stop()
 
     case Some(first) =>

@@ -69,6 +69,44 @@ object EventStream {
         count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("total_value"))
   }
 
+  /** Native `session_window` twin of [[sessionize]] — same gap semantics
+    * expressed through Spark's built-in session-window aggregation
+    * instead of the lag/running-sum window pair (one aggregation, no
+    * analytic-window pass; the streaming-capable formulation).
+    *
+    * Boundary note: session_window merges an event into the session when
+    * it arrives strictly BEFORE prev+gap, while [[sessionize]] starts a
+    * new session only when the difference EXCEEDS the gap — the two
+    * differ on events exactly `gap` apart. StreamingSpec asserts full
+    * parity on the events table (which has no exact-gap ties).
+    */
+  def sessionWindowAgg(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    events
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("total_value"))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("total_value"))
+
+  /** Streaming variant of [[sessionWindowAgg]]: watermarked event-time
+    * session windows (state closes once the watermark passes a session's
+    * end + gap).
+    */
+  def streamingSessionWindow(spark: SparkSession, dir: String,
+                             name: String): DataFrame = {
+    val q = sessionWindowAgg(
+        spark.readStream.schema(eventSchema).parquet(dir)
+          .withWatermark("ts", "1 hour"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
   /** STREAMING QUALITY FILTER: the same fused verdict pipeline
     * (operators/QualityFilter — stateless narrow transforms, so it lifts
     * to Structured Streaming unchanged) over a readStream file source,

@@ -202,6 +202,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("native session_window equals the lag/running-sum sessionize, " +
+    "batch and streaming") {
+    val spark2 = spark
+    import org.apache.spark.sql.functions._
+    val events = spark2.read.parquet("/root/testdata/sf0.001/events.parquet")
+    // canon via unix micros: the batch path keeps the parquet's
+    // TIMESTAMP_NTZ while the streaming schema declares TimestampType —
+    // same instants (UTC session), different toString renderings
+    def canon(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.select(col("user_id"),
+          unix_micros(col("session_start").cast("timestamp")),
+          unix_micros(col("session_end").cast("timestamp")),
+          col("n_events"), col("total_value"))
+        .collect().map(_.mkString("|")).toSet
+    val viaWindows = canon(EventStream.sessionize(events)
+      .drop("session_id"))
+    val viaSessionWindow = canon(EventStream.sessionWindowAgg(events))
+    assert(viaSessionWindow == viaWindows)
+    // streaming twin over the same rows
+    val streamed = canon(
+      EventStream.streamingSessionWindow(spark2, eventsDir, "sesswin"))
+    assert(streamed == viaWindows)
+  }
+
   test("gap sessionization: session boundaries and aggregates") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

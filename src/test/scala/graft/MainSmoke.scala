@@ -74,9 +74,15 @@ object MainSmoke {
     val bad = try { Main.main(Array("runs", "a", "b", "c", "d")); None }
               catch { case e: RuntimeException => Some(e.getMessage) }
     assert(bad.exists(_.contains("unknown subcommand")), s"got: $bad")
+    // dedup: dup-graph decisions over a documents parquet
+    Main.main(Array("dedup", "/root/testdata/sf0.001/documents.parquet",
+      s"$tmp/dedup", "0.5"))
 
     val check = org.apache.spark.sql.SparkSession.builder()
       .master("local[4]").config("spark.ui.enabled", "false").getOrCreate()
+    val dd = check.read.parquet(s"$tmp/dedup")
+    assert(dd.count() == 500)
+    assert(dd.filter("NOT keep").count() > 0, "expected seeded dup clusters")
     val n = check.read.parquet(s"$tmp/out").count()
     val m = check.read.parquet(s"$tmp/metrics").count()
     val cm = new graft.sources.MetricsStore(s"$tmp/checkmetrics").read(check)

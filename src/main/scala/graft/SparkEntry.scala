@@ -251,6 +251,13 @@ object SparkEntry {
     "q_sessionize" -> ((s, dir) =>
       EventStream.sessionize(t(s, dir, "events"))),
 
+    // native session_window operator (streaming-capable twin): note the
+    // boundary difference — session_window splits at diff >= gap (exact
+    // microseconds), sessionize at diff > gap (whole seconds); the oracle
+    // re-derives the session_window rule precisely
+    "q_session_window" -> ((s, dir) =>
+      EventStream.sessionWindowAgg(t(s, dir, "events"))),
+
     // ---- text analysis over documents ----
     "text_quality" -> ((s, dir) => tp(s, dir, "documents").select(
       col("doc_id"),
@@ -738,6 +745,27 @@ object SparkEntry {
         |  max(ts) AS session_end, count(*) AS n_events,
         |  round(sum(value), 4) AS total_value
         |FROM g GROUP BY 1, 2""".stripMargin,
+
+    // session_window semantics: split when the gap to the previous event
+    // is >= 30 min in exact MICROSECONDS (the lag-chain formulation is
+    // equivalent because events are processed in ts order)
+    "q_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |f AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL OR
+        |    epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
+        |    THEN 1 ELSE 0 END AS new_session FROM e),
+        |g AS (
+        |  SELECT *, sum(new_session) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING)::BIGINT AS sid FROM f)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) AS session_end, count(*) AS n_events,
+        |  round(sum(value), 4) AS total_value
+        |FROM g GROUP BY user_id, sid""".stripMargin,
 
     "text_quality" ->
       s"""WITH w AS (

@@ -120,6 +120,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.parseWavMeta(Array[Byte](1, 2, 3)).isEmpty)
   }
 
+  test("AVI index: real frame extraction + header dims, round-trip") {
+    val avi = Multimodal.synthAvi(320, 240, 33333, 12, frameBytes = 64)
+    assert(Multimodal.sniffFormat(avi) == "riff")
+    val m = Multimodal.parseAviMeta(avi).get
+    assert(m.width == 320 && m.height == 240)
+    assert(m.microSecPerFrame == 33333 && m.totalFrames == 12)
+    assert(m.frames.length == 12)
+    // every indexed frame slices to its exact synthesized payload
+    val all = Multimodal.frameSample(avi, stride = 1)
+    assert(all.length == 12)
+    all.zipWithIndex.foreach { case (f, i) =>
+      assert(f.length == 64)
+      f.zipWithIndex.foreach { case (b, j) =>
+        assert((b & 0xff) == ((i * 131 + j * 7 + 3) & 0xff)) }
+    }
+    // stride sampling picks every 4th frame
+    assert(Multimodal.frameSample(avi, stride = 4).length == 3)
+    // WAV bytes are RIFF but not AVI
+    assert(Multimodal.parseAviMeta(Multimodal.synthWav(8000, 1, 16, 10)).isEmpty)
+
+    // end-to-end: the operator reports AVI dims + real sampled frames
+    val rows = Seq(("v", avi)).toDF("key", "blob")
+    val r = Multimodal.withMediaFeatures(rows, "blob").head()
+    assert(r.getAs[String]("media_format") == "riff")
+    assert(r.getAs[Int]("media_width") == 320)
+    assert(r.getAs[Int]("media_height") == 240)
+    val frames = r.getAs[scala.collection.Seq[Int]]("media_frames")
+    assert(frames.length == 3)
+    assert(frames.head == 3) // frame 0, byte 0: (0*131 + 0*7 + 3) & 0xff
+  }
+
   test("audioMeta operator: parsed columns over a binary column") {
     val rows = Seq(
       (1L, Multimodal.synthWav(8000, 1, 16, 100)),

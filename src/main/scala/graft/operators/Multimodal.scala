@@ -346,14 +346,19 @@ object Multimodal {
     var moviPos = -1L
     val offs = scala.collection.mutable.ArrayBuffer.empty[Long]
     val sizes = scala.collection.mutable.ArrayBuffer.empty[Long]
-    def walk(from: Long, until: Long): Unit = {
+    // depth-capped walk: a crafted file can nest LISTs O(fileSize/12)
+    // deep — unbounded recursion would be a StackOverflowError (an Error,
+    // not an Exception — the decompression-bomb failure class). Real AVI
+    // nests 2-3 levels; 16 is generous.
+    def walk(from: Long, until: Long, depth: Int): Unit = {
+      if (depth > 16) return
       var off = from
       while (off + 8 <= until) {
         val o = off.toInt
         val size = u32(o + 4)
         if (tag(o, "LIST") && off + 12 <= until) {
           if (tag(o + 8, "movi")) moviPos = o + 8
-          walk(off + 12, math.min(until, off + 8 + size))
+          walk(off + 12, math.min(until, off + 8 + size), depth + 1)
         } else if (tag(o, "avih") && off + 8 + 40 + 4 <= until) {
           // MainAVIHeader: dwMicroSecPerFrame +0, dwTotalFrames +16,
           // dwWidth +32, dwHeight +36 (all relative to the chunk data)
@@ -378,7 +383,7 @@ object Multimodal {
         off += 8 + size + (size & 1L)
       }
     }
-    walk(12, bytes.length)
+    walk(12, bytes.length, 0)
     if (w <= 0 || h <= 0 || usPerFrame <= 0) None
     else Some(AviMeta(w, h, usPerFrame, total, offs.toArray, sizes.toArray))
   }

@@ -151,6 +151,44 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.head == 3) // frame 0, byte 0: (0*131 + 0*7 + 3) & 0xff
   }
 
+  test("RIFF parsers never throw on arbitrary/adversarial bytes (fuzz)") {
+    val rnd = new scala.util.Random(20260816L)
+    // pure-random buffers
+    (0 until 200).foreach { _ =>
+      val b = Array.fill(rnd.nextInt(512))(rnd.nextInt(256).toByte)
+      Multimodal.parseWavMeta(b); Multimodal.parseAviMeta(b)
+      Multimodal.frameSample(b); Multimodal.sniffFormat(b)
+    }
+    // structured adversarial: valid magic + corrupted interiors
+    val wav = Multimodal.synthWav(44100, 2, 16, 100)
+    val avi = Multimodal.synthAvi(64, 48, 40000, 8)
+    (0 until 300).foreach { _ =>
+      val src = if (rnd.nextBoolean()) wav else avi
+      val b = src.clone()
+      (0 until 1 + rnd.nextInt(8)).foreach { _ =>
+        b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte }
+      Multimodal.parseWavMeta(b); Multimodal.parseAviMeta(b)
+      Multimodal.frameSample(b)
+    }
+    // deeply-nested LIST bomb: must return (depth cap), not blow the stack
+    val depth = 50000
+    val bomb = new Array[Byte](12 + depth * 12 + 64)
+    "RIFF".getBytes.copyToArray(bomb, 0)
+    "AVI ".getBytes.copyToArray(bomb, 8)
+    var p = 12
+    (0 until depth).foreach { _ =>
+      "LIST".getBytes.copyToArray(bomb, p)
+      val remaining = bomb.length - p - 8
+      bomb(p + 4) = (remaining & 0xff).toByte
+      bomb(p + 5) = ((remaining >> 8) & 0xff).toByte
+      bomb(p + 6) = ((remaining >> 16) & 0xff).toByte
+      bomb(p + 7) = ((remaining >> 24) & 0xff).toByte
+      "hdrl".getBytes.copyToArray(bomb, p + 8)
+      p += 12
+    }
+    assert(Multimodal.parseAviMeta(bomb).isEmpty) // survived, no result
+  }
+
   test("audioMeta operator: parsed columns over a binary column") {
     val rows = Seq(
       (1L, Multimodal.synthWav(8000, 1, 16, 100)),

@@ -61,6 +61,15 @@ class PlanSpec extends AnyFunSuite {
       s"expected 1 shuffle:\n${plan.take(2000)}")
   }
 
+  test("session_window plans as partial-agg -> ONE exchange -> merging sessions") {
+    val plan = planOf(SparkEntry.queries("q_session_window")(spark, dir))
+    assert("Exchange".r.findAllIn(plan).length == 1,
+      s"expected 1 shuffle:\n${plan.take(2000)}")
+    assert(plan.contains("MergingSessions"), plan.take(1500))
+    // map-side combine happens before the shuffle
+    assert(plan.contains("partial_min"), plan.take(1500))
+  }
+
   test("not_empty over N dimensions compiles to ONE scan (vs reference's " +
     "one query per dimension)") {
     val li = spark.read.parquet(s"$dir/orders.parquet")

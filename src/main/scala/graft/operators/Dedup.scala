@@ -239,29 +239,52 @@ object Dedup {
     * the shared engine behind [[minhashLshPairs]] (estimate-thresholded)
     * and [[minhashLshDedup]] (exactly verified).
     */
+  /** `withEstimates = true` carries each member's full signature into the
+    * buckets and emits the signature-overlap estimate per pair (the
+    * [[minhashLshPairs]] contract). `false` is the dedup-pipeline path:
+    * candidates are exactly verified downstream, so the estimate — and
+    * with it the whole signature payload — never needs to shuffle; bucket
+    * members are bare keys (the per-band shuffle drops from
+    * O(rows x bands x signature) to O(rows x bands x key) bytes).
+    */
   private def minhashCandidates(df: DataFrame, keyCol: String, textCol: String,
                                 numHashes: Int, bands: Int, shingleN: Int,
-                                maxBucketSize: Int): DataFrame = {
+                                maxBucketSize: Int,
+                                withEstimates: Boolean = true): DataFrame = {
     val rows = numHashes / bands
     val sigs = minhashSignatures(df, keyCol, textCol, numHashes, shingleN)
-    val banded = sigs.select(col(keyCol), col("signature"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(b, slice(col("signature"), b * rows + 1, lit(rows))
-            .cast("string")))).as(Seq("band", "bucket")))
     // sort INSIDE the aggregate: runs once per bucket and downstream code
     // references the attribute (canonical member order -> the same pair
     // always emits as (min, max), so distinct() dedups across bands)
-    val buckets = banded.groupBy(col("band"), col("bucket"))
-      .agg(array_sort(collect_list(
-        struct(col(keyCol).as("k"), col("signature").as("sig")))).as("ms"))
-    bucketPairs(buckets, maxBucketSize)
-      .select(
-        least(col("p.a.k"), col("p.b.k")).as("key_a"),
-        greatest(col("p.a.k"), col("p.b.k")).as("key_b"),
-        (size(filter(zip_with(col("p.a.sig"), col("p.b.sig"),
-          (a, b) => a === b), x => x)).cast(DoubleType) /
-          lit(numHashes.toDouble)).as("est_jaccard"))
-      .distinct()
+    if (withEstimates) {
+      val banded = sigs.select(col(keyCol), col("signature"),
+          posexplode(transform(sequence(lit(0), lit(bands - 1)),
+            b => xxhash64(b, slice(col("signature"), b * rows + 1, lit(rows))
+              .cast("string")))).as(Seq("band", "bucket")))
+      val buckets = banded.groupBy(col("band"), col("bucket"))
+        .agg(array_sort(collect_list(
+          struct(col(keyCol).as("k"), col("signature").as("sig")))).as("ms"))
+      bucketPairs(buckets, maxBucketSize)
+        .select(
+          least(col("p.a.k"), col("p.b.k")).as("key_a"),
+          greatest(col("p.a.k"), col("p.b.k")).as("key_b"),
+          (size(filter(zip_with(col("p.a.sig"), col("p.b.sig"),
+            (a, b) => a === b), x => x)).cast(DoubleType) /
+            lit(numHashes.toDouble)).as("est_jaccard"))
+        .distinct()
+    } else {
+      val banded = sigs.select(col(keyCol),
+          posexplode(transform(sequence(lit(0), lit(bands - 1)),
+            b => xxhash64(b, slice(col("signature"), b * rows + 1, lit(rows))
+              .cast("string")))).as(Seq("band", "bucket")))
+        .select(col(keyCol), col("band"), col("bucket"))
+      val buckets = banded.groupBy(col("band"), col("bucket"))
+        .agg(array_sort(collect_list(col(keyCol))).as("ms"))
+      bucketPairs(buckets, maxBucketSize)
+        .select(least(col("p.a"), col("p.b")).as("key_a"),
+          greatest(col("p.a"), col("p.b")).as("key_b"))
+        .distinct()
+    }
   }
 
   def minhashLshPairs(df: DataFrame, keyCol: String, textCol: String,
@@ -301,7 +324,7 @@ object Dedup {
     // tiny relative to the corpus — so materializing it once is cheap
     // and avoids re-running signature generation per reference.
     val cand = minhashCandidates(reps, keyCol, textCol, numHashes, bands,
-      shingleN, maxBucketSize).select("key_a", "key_b").persist()
+      shingleN, maxBucketSize, withEstimates = false).persist()
     // exact verification: join candidates (a small table) back to the
     // representatives' shingle sets — true Jaccard, not the estimate.
     // Semi-join prefilter first: only representatives that actually appear

@@ -136,6 +136,34 @@ class DedupSpec extends AnyFunSuite {
       10L -> ((10L, true)), 11L -> ((10L, false))))
   }
 
+  test("connected components match union-find on random graphs (property)") {
+    val rnd = new scala.util.Random(20260816L)
+    (1 to 5).foreach { _ =>
+      val n = 4 + rnd.nextInt(12)
+      val edges = Seq.fill(4 + rnd.nextInt(16))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2).distinct
+      if (edges.nonEmpty) {
+        // union-find reference
+        val parent = Array.tabulate(n)(identity)
+        def find(x: Int): Int = {
+          var r = x; while (parent(r) != r) r = parent(r); r
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a.toInt), find(b.toInt))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val present = edges.flatMap(e => Seq(e._1.toInt, e._2.toInt)).distinct
+        val minOf = present.groupBy(find).map { case (r, xs) => r -> xs.min }
+        val expected = present.map(x => x.toLong -> minOf(find(x)).toLong).toMap
+        val got = graft.operators.Dedup.connectedComponents(
+            edges.toDF("key_a", "key_b"), maxIter = 64)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == expected, s"edges=$edges")
+      }
+    }
+  }
+
   test("embedding near-dup pairs via LSH + cosine") {
     val vecs = Seq(
       (0L, Seq(1.0f, 0.0f, 0.0f, 0.2f)),

@@ -143,8 +143,7 @@ class PlanSpec extends AnyFunSuite {
     val plan = planOf(q)
     val pf = "PartitionFilters: \\[[^\\]]*\\]".r.findFirstIn(plan).getOrElse("")
     assert(pf.contains("warc_date"), s"no partition filter pushed:\n$pf")
-    // the scan must read strictly fewer files than the full table
-    val allFiles = q.queryExecution.executedPlan.collectLeaves().map(_.toString)
+    // the scan must read strictly fewer rows than the full table
     assert(q.count() > 0)
     val fullCount = spark.read.parquet(tmp).count()
     assert(q.count() < fullCount)

@@ -16,6 +16,7 @@ import graft.sources.{MetricsStore, SampleGenerator}
   *   graft.Main filter  <pagesDir> <outDir> <metricsDir> <runId>
   *                      [buckets] [configYaml]
   *   graft.Main dedup   <docsParquet> <outDir> [jaccard] [keyCol] [textCol]
+  *                      [maxIter]
   *
   * `run` executes every check in the config against the parquet tables in
   * <tablesDir> (table name = file basename), appends metric rows, prints
@@ -142,17 +143,25 @@ object Main {
       // pairs, exact-jaccard verification, connected components ->
       // (key, cluster_id, keep) decisions written to <outDir>
       require(args.length >= 3,
-        "usage: graft.Main dedup <docsParquet> <outDir> [jaccard] [keyCol] [textCol]")
+        "usage: graft.Main dedup <docsParquet> <outDir> [jaccard] [keyCol] " +
+          "[textCol] [maxIter]")
       val threshold = if (args.length > 3) args(3).toDouble else 0.8
       val keyCol = if (args.length > 4) args(4) else "doc_id"
       val textCol = if (args.length > 5) args(5) else "text"
+      // component-propagation round cap: the dup-graph construction bounds
+      // cluster diameter, but a corpus with long chains of near-dup pairs
+      // (serially-edited pages) can exceed it — this is the operator knob
+      val maxIter = if (args.length > 6) args(6).toInt else 20
       val spark = session("graft-dedup")
       val docs = spark.read.parquet(args(1))
       val pairs = graft.operators.Dedup.minhashLshDedup(
         docs, keyCol, textCol, jaccardThreshold = threshold)
         .select("key_a", "key_b")
-      val decisions = graft.operators.Dedup.dedupDecisions(docs, pairs, keyCol)
+      val decisions = graft.operators.Dedup.dedupDecisions(docs, pairs, keyCol,
+        maxIter = maxIter)
       decisions.write.mode("overwrite").parquet(args(2))
+      // output is on disk — drop the cached dedup intermediates
+      graft.operators.Dedup.releaseCaches()
       val out = spark.read.parquet(args(2))
       val total = out.count()
       val dropped = out.filter(!col("keep")).count()
@@ -167,8 +176,8 @@ object Main {
       // must error as such, not start a filter job against wrong paths.
       if (first != "filter" && !new java.io.File(first).isDirectory)
         sys.error(s"unknown subcommand '$first' " +
-          "(expected run|compile|sample|filter, or an existing pagesDir " +
-          "for the legacy positional filter form)")
+          "(expected run|compile|sample|filter|dedup, or an existing " +
+          "pagesDir for the legacy positional filter form)")
       val a = if (first == "filter") args.drop(1) else args
       require(a.length >= 4,
         "usage: graft.Main filter <pagesDir> <outDir> <metricsDir> <runId> " +
@@ -194,6 +203,6 @@ object Main {
       spark.stop()
 
     case None =>
-      sys.error("usage: graft.Main run|compile|sample|filter ...")
+      sys.error("usage: graft.Main run|compile|sample|filter|dedup ...")
   }
 }

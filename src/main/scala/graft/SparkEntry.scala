@@ -182,9 +182,13 @@ object SparkEntry {
         .select(col("event_type"), col("d"), coalesce(col("n"), lit(0L)).as("n"))
     }),
 
+    // right side restricted to high-price orders so survivors exist at
+    // every scale factor (3/30/308 rows at sf0.001/0.01/0.1) — an
+    // unfiltered right side left both engines returning 0 rows, which
+    // compares empty sets and proves nothing
     "q_anti_join" -> ((s, dir) => {
       val c = t(s, dir, "customer")
-      val o = t(s, dir, "orders")
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 300000)
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_nationkey"))
     }),
@@ -684,7 +688,9 @@ object SparkEntry {
 
     "q_anti_join" ->
       """SELECT c_custkey, c_nationkey FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_totalprice > 300000)""".stripMargin,
 
     "q_semi_join" ->
       """SELECT s_suppkey, s_nationkey FROM supplier

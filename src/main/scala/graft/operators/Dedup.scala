@@ -19,6 +19,34 @@ import org.apache.spark.sql.types._
   */
 object Dedup {
 
+  /** Intermediates persisted by the dedup operators (collapsed reps,
+    * candidate sets, final component labels). The persists are
+    * load-bearing — each is referenced by several downstream stages and
+    * bench passes reuse them across calls via plan identity — but a
+    * long-lived session would otherwise accumulate cached blocks per
+    * call, so every persist is registered here and a caller that is done
+    * with the RESULTS (e.g. after writing them to storage) releases them
+    * with [[releaseCaches]].
+    */
+  private val trackedCaches =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[DataFrame]()
+
+  private def persistTracked(df: DataFrame): DataFrame = {
+    df.persist()
+    trackedCaches.add(df)
+    df
+  }
+
+  /** Unpersist every intermediate cached by dedup operators since the
+    * last release. Call after the dedup OUTPUT is materialized (written /
+    * collected); lazy plans derived from a dedup result will recompute
+    * from scratch after this.
+    */
+  def releaseCaches(): Unit = {
+    val it = trackedCaches.iterator()
+    while (it.hasNext) { it.next().unpersist(blocking = false); it.remove() }
+  }
+
   /** Word n-gram shingles as a distinct array column. JVM sliding window —
     * the pure-Catalyst formulation (transform over sequence + slice) copies
     * the word array per shingle, O(words^2) per document; this is O(words).
@@ -318,13 +346,13 @@ object Dedup {
     // collapsed corpus is the standard checkpoint of a production dedup
     // DAG; at cluster scale this would be an explicit storage checkpoint.
     val (reps0, links) = collapseExact(df, keyCol, textCol)
-    val reps = reps0.persist()
+    val reps = persistTracked(reps0)
     // persist: the candidate set is referenced three times below (two
     // verify joins + the key-set prefilter); it is O(near-dup pairs) —
     // tiny relative to the corpus — so materializing it once is cheap
     // and avoids re-running signature generation per reference.
-    val cand = minhashCandidates(reps, keyCol, textCol, numHashes, bands,
-      shingleN, maxBucketSize, withEstimates = false).persist()
+    val cand = persistTracked(minhashCandidates(reps, keyCol, textCol,
+      numHashes, bands, shingleN, maxBucketSize, withEstimates = false))
     // exact verification: join candidates (a small table) back to the
     // representatives' shingle sets — true Jaccard, not the estimate.
     // Semi-join prefilter first: only representatives that actually appear
@@ -417,7 +445,7 @@ object Dedup {
     // same materialization point as minhashLshDedup: reps feeds both the
     // pigeonhole pair stage and the link join
     val (reps0, links) = collapseExact(df, keyCol, textCol)
-    val reps = reps0.persist()
+    val reps = persistTracked(reps0)
     simhashPairs(reps, keyCol, textCol, maxHamming, maxBucketSize)
       .unionByName(links.withColumn("hamming", lit(0)))
   }
@@ -473,9 +501,21 @@ object Dedup {
     * persisted and the previous round unpersisted — the lineage does not
     * grow with iterations.
     */
+  /** `strict = true` (the library default) aborts if the labels have not
+    * converged after `maxIter` rounds — right when the input is a
+    * dup-graph built by the operators above, whose diameter IS bounded by
+    * construction. Callers feeding a graph whose diameter is NOT bounded
+    * (chained near-dup pairs A~B~C~... each above threshold without A~C —
+    * e.g. serially-edited templated pages — give O(chain) diameter) should
+    * raise `maxIter` and/or pass `strict = false`, which logs and returns
+    * the best-effort labels instead of failing the whole job. Both knobs
+    * are plumbed through [[dedupDecisions]] and the `graft.Main dedup`
+    * subcommand.
+    */
   def connectedComponents(pairs: DataFrame, keyA: String = "key_a",
                           keyB: String = "key_b",
-                          maxIter: Int = 20): DataFrame = {
+                          maxIter: Int = 20,
+                          strict: Boolean = true): DataFrame = {
     val edges = pairs.select(col(keyA).as("a"), col(keyB).as("b"))
       .unionByName(pairs.select(col(keyB).as("a"), col(keyA).as("b")))
       .distinct()
@@ -505,8 +545,20 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
-    require(converged, s"connectedComponents did not converge in $maxIter " +
-      "rounds — graph diameter exceeds the dup-graph construction bound")
+    if (!converged) {
+      if (strict)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxIter rounds — " +
+            "graph diameter exceeds the dup-graph construction bound; " +
+            "raise maxIter or pass strict = false for best-effort labels")
+      else
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"connectedComponents did not converge in $maxIter rounds; " +
+            "returning best-effort labels (some clusters may be split)")
+    }
+    // the final labels stay persisted (they are materialized — every
+    // round's convergence count forced them); register for releaseCaches
+    trackedCaches.add(labels)
     labels
   }
 
@@ -514,8 +566,9 @@ object Dedup {
     * and a keep flag (the cluster's minimum key survives). Documents in
     * no pair are their own singleton cluster.
     */
-  def dedupDecisions(df: DataFrame, pairs: DataFrame, keyCol: String): DataFrame = {
-    val cc = connectedComponents(pairs)
+  def dedupDecisions(df: DataFrame, pairs: DataFrame, keyCol: String,
+                     maxIter: Int = 20, strict: Boolean = true): DataFrame = {
+    val cc = connectedComponents(pairs, maxIter = maxIter, strict = strict)
     df.select(col(keyCol))
       .join(cc.withColumnRenamed("node", keyCol), Seq(keyCol), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col(keyCol)))

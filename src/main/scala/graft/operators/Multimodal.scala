@@ -218,8 +218,9 @@ object Multimodal {
           .getOrElse(resizeStub(features))
         val frames = avi match {
           // real sampled key frames: first payload byte of each (the
-          // schema keeps one Int per sampled frame)
-          case Some(_) => frameSample(bytes)
+          // schema keeps one Int per sampled frame); the parsed meta is
+          // reused so the RIFF index is walked once per row, not twice
+          case Some(m) => frameSample(m, bytes, stride = 4)
             .map(f => if (f.nonEmpty) f(0) & 0xff else -1).toSeq
           case None => frameSampleStub(bytes).toSeq
         }
@@ -393,16 +394,23 @@ object Multimodal {
     */
   def frameSample(bytes: Array[Byte], stride: Int = 4): Array[Array[Byte]] =
     parseAviMeta(bytes) match {
-      case Some(m) =>
-        m.frames.indices.by(math.max(stride, 1)).flatMap { i =>
-          val o = m.frames(i)
-          val s = math.min(m.frameSizes(i), bytes.length - o)
-          if (o >= 0 && s > 0 && o + s <= bytes.length)
-            Some(java.util.Arrays.copyOfRange(bytes, o.toInt, (o + s).toInt))
-          else None
-        }.toArray
-      case None => Array.empty
+      case Some(m) => frameSample(m, bytes, stride)
+      case None    => Array.empty
     }
+
+  /** Overload for callers that already hold the parsed [[AviMeta]] —
+    * avoids walking the RIFF index a second time over a potentially large
+    * blob (withMediaFeatures parses once for dims and reuses it here).
+    */
+  def frameSample(m: AviMeta, bytes: Array[Byte],
+                  stride: Int): Array[Array[Byte]] =
+    m.frames.indices.by(math.max(stride, 1)).flatMap { i =>
+      val o = m.frames(i)
+      val s = math.min(m.frameSizes(i), bytes.length - o)
+      if (o >= 0 && s > 0 && o + s <= bytes.length)
+        Some(java.util.Arrays.copyOfRange(bytes, o.toInt, (o + s).toInt))
+      else None
+    }.toArray
 
   /** Deterministic AVI fixture generator (the deliverable is
     * [[parseAviMeta]]/[[frameSample]]): RIFF(hdrl(avih) movi(00dc...)

@@ -107,6 +107,25 @@ object EventStream {
     spark.table(name)
   }
 
+  /** Append-mode streaming session window over a file source, for callers
+    * that feed files incrementally (returns the LIVE query; results land
+    * in the memory table `name`). Append mode is where the watermark's
+    * state-eviction contract is observable: a session is emitted — and
+    * its state dropped — once the watermark passes session end + gap, so
+    * an event arriving later that would have merged into that session is
+    * DISCARDED, not merged and not re-emitted. The late-data test pins
+    * exactly that.
+    */
+  def streamingSessionWindowAppend(spark: SparkSession, dir: String,
+                                   name: String, gapMinutes: Int = 30,
+                                   watermark: String = "1 hour")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    sessionWindowAgg(
+        spark.readStream.schema(eventSchema).parquet(dir)
+          .withWatermark("ts", watermark), gapMinutes)
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+
   /** STREAMING QUALITY FILTER: the same fused verdict pipeline
     * (operators/QualityFilter — stateless narrow transforms, so it lifts
     * to Structured Streaming unchanged) over a readStream file source,

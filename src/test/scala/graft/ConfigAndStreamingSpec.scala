@@ -226,6 +226,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == viaWindows)
   }
 
+  test("session_window late data: an event arriving after the watermark " +
+    "passed its session is dropped, not merged") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def write(dir: String, rows: Seq[(Long, String, Long, Double)]): Unit =
+      rows.toDF("event_id", "ts_s", "user_id", "value")
+        .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          lit("t").as("event_type"), col("value"), lit("{}").as("props"))
+        .write.mode("append").parquet(dir)
+    val dir = java.nio.file.Files.createTempDirectory("latesess").toString
+    // batch 1: a two-event session for user 7 at 10:00-10:10, plus a
+    // sentinel event far ahead (20:00) that advances the watermark
+    // (1h delay -> 19:00), well past the session's end + gap (10:40):
+    // the session is emitted and its state evicted
+    write(dir, Seq((1L, "2024-01-01 10:00:00", 7L, 1.0),
+      (2L, "2024-01-01 10:10:00", 7L, 2.0),
+      (3L, "2024-01-01 20:00:00", 99L, 9.0)))
+    val q = EventStream.streamingSessionWindowAppend(spark, dir, "latesess")
+    try {
+      q.processAllAvailable()
+      val afterFirst = spark.table("latesess")
+        .filter(col("user_id") === 7L).collect()
+      assert(afterFirst.length == 1)
+      assert(afterFirst.head.getAs[Long]("n_events") == 2L)
+      // batch 2: a LATE event for user 7 at 10:05 — inside the already
+      // emitted session but behind the watermark — plus a fresh user-8
+      // event proving the batch itself was processed
+      write(dir, Seq((4L, "2024-01-01 10:05:00", 7L, 4.0),
+        (5L, "2024-01-01 20:30:00", 8L, 5.0)))
+      q.processAllAvailable()
+      val user7 = spark.table("latesess")
+        .filter(col("user_id") === 7L).collect()
+      // still exactly one user-7 session, still 2 events: the late row
+      // was dropped at the watermark, it neither merged nor re-opened
+      assert(user7.length == 1)
+      assert(user7.head.getAs[Long]("n_events") == 2L)
+      assert(math.round(user7.head.getAs[Double]("total_value") * 10) == 30L)
+      // the fresh row of the same batch WAS processed (emitted once its
+      // own session closes — advance the watermark past it to flush)
+      write(dir, Seq((6L, "2024-01-02 10:00:00", 99L, 1.0)))
+      q.processAllAvailable()
+      val user8 = spark.table("latesess")
+        .filter(col("user_id") === 8L).collect()
+      assert(user8.length == 1 && user8.head.getAs[Long]("n_events") == 1L)
+    } finally q.stop()
+  }
+
   test("gap sessionization: session boundaries and aggregates") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -97,9 +97,13 @@ object Main {
       // make — a real deployment swaps in an HTTP client here
       val report = Export.exportResults(spark, store, runId, runTime,
         sender = cfg.slackUrl.map(Export.printingSender))
+      // machine-readable per-run report next to the metric store: the
+      // composable CLI analog of the reference's dashboard export
+      val reportPath = Export.writeReportJson(store.path, report)
       println(s"run $runId complete: total=${res.total} " +
         s"success=${res.successes} fail=${res.failures} " +
-        s"(reported ${report.failures.size} failure details)")
+        s"(reported ${report.failures.size} failure details; " +
+        s"report at $reportPath)")
       spark.stop()
 
     case Some("compile") =>

@@ -124,6 +124,46 @@ object Export {
     r
   }
 
+  /** Machine-readable twin of the console table: the [[RunReport]] as a
+    * JSON document. The reference ships results to a dashboard; a per-run
+    * JSON next to the metric store makes the CLI composable (pipe into
+    * jq, diff runs, alert off `failed`). Hand-rolled serialization — the
+    * classpath has no JSON library and the shape is flat.
+    */
+  def reportJson(r: RunReport): String = {
+    def js(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val failures = r.failures.map { f =>
+      s"""{"name":${js(f.name)},"dataset":${js(f.dataset)},""" +
+        s""""datasource":${js(f.datasource)},"check_id":${js(f.checkId)},""" +
+        s""""condition":${js(f.condition)},""" +
+        s""""actual_value":${f.actualValue.map(_.toString).getOrElse("null")},""" +
+        s""""threshold":${js(f.threshold)},"type":${js(f.checkType)}}"""
+    }.mkString("[", ",", "]")
+    s"""{"run_id":${js(r.runId)},"total":${r.total},"passed":${r.passed},""" +
+      s""""failed":${r.failed},"failures":$failures}"""
+  }
+
+  /** Write the per-run JSON report to `<dir>/_report_<runId>.json`;
+    * returns the path written. The underscore prefix marks the file
+    * hidden to Spark's file listing — the metric store IS `dir` (a
+    * partitioned parquet directory), and an unprefixed sibling file
+    * would be picked up as a corrupt data file by `MetricsStore.read`.
+    */
+  def writeReportJson(dir: String, r: RunReport): java.nio.file.Path = {
+    val p = java.nio.file.Paths.get(dir, s"_report_${r.runId}.json")
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.writeString(p, reportJson(r) + "\n")
+    p
+  }
+
   /** Fixed-width console table of a run's results — the reference's
     * print_results (export.py:94-128): Check Name / Datasource / Dataset /
     * Measure / Condition / Actual Value / Threshold / Result, with the

@@ -121,6 +121,54 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.keys.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("borderline-jaccard pair: Spark output is CONTAINED in the exact " +
+    "brute-force graph with exact jaccard values (the corpus-margin " +
+    "assumption, regression-tested)") {
+    // The driver-gate equality for dedup_minhash_lsh rests on the corpus
+    // having no near-threshold pairs (SparkEntry corpus-margin note). This
+    // test builds a corpus WITH a deliberate borderline pair and asserts
+    // what LSH actually guarantees there: Spark ⊆ brute-force oracle, and
+    // every emitted jaccard is the exact shingle jaccard — NOT equality
+    // of the pair sets (16 bands x 4 rows misses a pair at jaccard ~0.55
+    // with probability ~0.27 by design).
+    val words = ('a' to 'z').map(_.toString)
+    val a = words.take(20).mkString(" ")                    // shingles a..r (18)
+    val b = (words.take(13) ++ words.drop(40)).mkString(" ") // shares 11 of them
+    val corpus = Seq((0L, a), (1L, b), (2L, a), // 2 = exact dup of 0
+      (3L, "unrelated text about catalyst optimizer rules entirely"))
+      .toDF("doc_id", "text")
+    val threshold = 0.5
+    // exact brute-force dup graph with the same collapse semantics:
+    // reps = min-key per distinct text, links at 1.0, all rep pairs with
+    // exact shingle jaccard >= threshold
+    def shingleSet(t: String): Set[String] =
+      t.split("\\s+").filter(_.nonEmpty).sliding(3).map(_.mkString(" ")).toSet
+    val texts = Map(0L -> a, 1L -> b, 3L ->
+      "unrelated text about catalyst optimizer rules entirely")
+    val repPairs = for {
+      x <- texts.keys; y <- texts.keys if x < y
+      sa = shingleSet(texts(x)); sb = shingleSet(texts(y))
+      j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      if j >= threshold
+    } yield ((x, y), j)
+    val oracle = repPairs.toMap + (((0L, 2L), 1.0))
+    // the pair (0,1) IS borderline: just above threshold, far below 0.9
+    val j01 = oracle((0L, 1L))
+    assert(j01 >= threshold && j01 < 0.7, s"fixture drifted: j(0,1)=$j01")
+    val got = Dedup.minhashLshDedup(corpus, "doc_id", "text",
+      jaccardThreshold = threshold).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard"))
+      .toMap
+    // containment: every emitted pair is a true pair with the EXACT value
+    got.foreach { case (k, j) =>
+      assert(oracle.contains(k), s"false positive $k")
+      assert(math.abs(oracle(k) - j) < 1e-12, s"inexact jaccard at $k")
+    }
+    // the non-borderline edges can never be missed
+    assert(got.contains((0L, 2L)))
+    assert(!got.keys.exists { case (x, y) => x == 3L || y == 3L })
+  }
+
   test("connected components: chain convergence, singletons, min-key labels") {
     // chain 1-2-3-4 (diameter 3 — forces multiple hash-min rounds),
     // a separate pair {10,11}, and isolated docs 5/6

@@ -94,6 +94,11 @@ object MainSmoke {
     assert(n == 500 && m > 0)
     assert(runRows == 2, s"expected 2 check rows, got $runRows")
     assert(sampleRows == 31, s"expected 31 sample rows, got $sampleRows")
+    // run wrote the machine-readable per-run report next to the store
+    val reportJson = java.nio.file.Files.readString(java.nio.file.Paths
+      .get(s"$tmp/checkmetrics/_report_smokerun.json"))
+    assert(reportJson.contains("\"run_id\":\"smokerun\"") &&
+      reportJson.contains("\"failed\":1"), s"report: $reportJson")
     check.stop()
   }
 }

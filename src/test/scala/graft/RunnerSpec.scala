@@ -94,6 +94,19 @@ class RunnerSpec extends AnyFunSuite {
     assert(table.contains("Check Id") && table.contains("Check Name"))
     assert(table.contains("sales count") && table.contains("✗")
       && table.contains("✓"))
+    // machine-readable report: written next to the store (hidden to the
+    // parquet listing), shape parseable with the expected fields
+    val reportPath = Export.writeReportJson(store.path, report)
+    assert(reportPath.getFileName.toString == "_report_runE.json")
+    val json = java.nio.file.Files.readString(reportPath)
+    assert(json.contains("\"run_id\":\"runE\""))
+    assert(json.contains("\"total\":3") && json.contains("\"passed\":2") &&
+      json.contains("\"failed\":1"))
+    assert(json.contains("\"name\":\"amount sum by grp_grp_b\""))
+    assert(json.contains("\"actual_value\":5030.0"))
+    assert(json.contains("\"threshold\":\"10.0,1000.0\""))
+    // the report file must NOT break subsequent store reads
+    assert(store.read(spark).filter(col("run_id") === "runE").count() == 3)
   }
 
   test("anomaly check runs through Runner.run with per-dimension names") {

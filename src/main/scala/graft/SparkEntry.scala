@@ -452,6 +452,30 @@ object SparkEntry {
         tp(s, dir, "documents")
           .select(col("doc_id"), synth(col("doc_id")).as("wav")),
         "doc_id", "wav")
+    }),
+
+    // REAL uncompressed-AVI pixel decode (byte arithmetic, no codec):
+    // per-doc synthetic BI_RGB AVIs (the fixture generator, like the WAV
+    // one above); the oracle re-derives dimensions, duration and the
+    // integer mean luminance of every sampled-and-DECODED frame straight
+    // from the pixel formula — exact integer arithmetic on both sides.
+    // Widths 5/7/9 force nonzero DIB row padding, so the byte layout
+    // (bottom-up rows, 4-byte stride) is itself under test.
+    "multimodal_video" -> ((s, dir) => {
+      val synth = udf { id: Long =>
+        Multimodal.synthAviRgb(5 + (id % 3).toInt * 2, 4 + (id % 3).toInt,
+          40000, 5 + (id % 4).toInt)
+      }
+      Multimodal.videoMeta(
+        tp(s, dir, "documents")
+          .select(col("doc_id"), synth(col("doc_id")).as("avi")),
+        "doc_id", "avi")
+        .select(col("doc_id"), col("width"), col("height"),
+          col("total_frames"), col("duration_ms"),
+          // joined to a string: the driver's comparator can't sort ARRAY
+          // columns (round-1 `err`)
+          array_join(transform(col("frame_means"),
+            x => x.cast(StringType)), "|").as("frame_means"))
     })
   )
 
@@ -1072,6 +1096,41 @@ object SparkEntry {
         |  ((100 + (doc_id % 50)) * (1 + (doc_id % 2)) * 2 * 1000)::DOUBLE /
         |    ((8000 + (doc_id % 5) * 1000) * (1 + (doc_id % 2)) * 2)::DOUBLE
         |    AS duration_ms
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // re-derives the decoded-frame statistics from the synthAviRgb pixel
+    // formula (R/G/B at frame f, pixel x, y) — the Spark side must walk
+    // the actual DIB byte layout (bottom-up padded rows) to recover the
+    // same integers; a decode bug (row order, stride, channel order read
+    // back wrong) changes the sums. Sampled frames are 0 and 4 (stride 4,
+    // 5-8 frames per doc); mean = sum(r+g+b) // (3*w*h), exact integer
+    // arithmetic on both engines.
+    "multimodal_video" ->
+      """WITH params AS (
+        |  SELECT doc_id,
+        |    (5 + (doc_id % 3) * 2)::INT AS w,
+        |    (4 + (doc_id % 3))::INT AS h,
+        |    (5 + (doc_id % 4)) AS nf
+        |  FROM documents),
+        |sampled AS (
+        |  SELECT doc_id, w, h, nf, t.f
+        |  FROM params, (SELECT unnest([0, 4]) AS f) t
+        |  WHERE t.f < nf),
+        |means AS (
+        |  SELECT s.doc_id, s.f,
+        |    sum((s.f*17 + x.x*5 + y.y*29) % 256 +
+        |        (s.f*59 + x.x*11 + y.y*3) % 256 +
+        |        (s.f*131 + x.x*7 + y.y*13) % 256) // (3 * s.w * s.h) AS m
+        |  FROM sampled s, range(9) x(x), range(6) y(y)
+        |  WHERE x.x < s.w AND y.y < s.h
+        |  GROUP BY s.doc_id, s.f, s.w, s.h),
+        |agg AS (
+        |  SELECT doc_id, array_to_string(list(m ORDER BY f), '|') AS fm
+        |  FROM means GROUP BY doc_id)
+        |SELECT p.doc_id, p.w AS width, p.h AS height,
+        |  p.nf::BIGINT AS total_frames,
+        |  (p.nf * 40.0)::DOUBLE AS duration_ms,
+        |  agg.fm AS frame_means
+        |FROM params p JOIN agg USING (doc_id)""".stripMargin
   )
 }

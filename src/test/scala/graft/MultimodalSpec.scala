@@ -151,6 +151,65 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.head == 3) // frame 0, byte 0: (0*131 + 0*7 + 3) & 0xff
   }
 
+  test("AVI pixel decode: BI_RGB frames round-trip exactly through the " +
+    "DIB byte layout into the shared image kernels") {
+    // width 5 -> row stride 16 (1 pad byte): padding and bottom-up order
+    // are both load-bearing here
+    val avi = Multimodal.synthAviRgb(5, 4, 40000, 6)
+    val m = Multimodal.parseAviMeta(avi).get
+    assert(m.width == 5 && m.height == 4 && m.totalFrames == 6)
+    assert(m.bitCount == 24 && m.compression == 0L)
+    val frames = Multimodal.frameSample(m, avi, stride = 1)
+    assert(frames.length == 6)
+    // every pixel of every frame decodes back to the generator formula
+    frames.zipWithIndex.foreach { case (p, f) =>
+      val img = Multimodal.decodeDibFrame(m, p).get
+      for (y <- 0 until 4; x <- 0 until 5) {
+        val rgb = img.getRGB(x, y)
+        assert(((rgb >> 16) & 0xff) == (f * 17 + x * 5 + y * 29) % 256)
+        assert(((rgb >> 8) & 0xff) == (f * 59 + x * 11 + y * 3) % 256)
+        assert((rgb & 0xff) == (f * 131 + x * 7 + y * 13) % 256)
+      }
+      // integer mean luminance matches direct arithmetic on the formula
+      val expect = (for (y <- 0 until 4; x <- 0 until 5) yield
+        (f * 17 + x * 5 + y * 29) % 256 + (f * 59 + x * 11 + y * 3) % 256 +
+          (f * 131 + x * 7 + y * 13) % 256).sum / (3 * 5 * 4)
+      assert(Multimodal.frameMeanLuma(img) == expect)
+    }
+    // the opaque-payload generator has no strf: undecodable by contract
+    val opaque = Multimodal.synthAvi(320, 240, 33333, 4, frameBytes = 64)
+    val om = Multimodal.parseAviMeta(opaque).get
+    assert(om.bitCount == -1)
+    assert(Multimodal.decodeDibFrame(om,
+      Multimodal.frameSample(om, opaque, 1).head).isEmpty)
+
+    // end-to-end: withMediaFeatures runs the decoded frames through the
+    // image kernels (histogram sums to 1 over real pixels; per-frame
+    // mean luminance, not first payload byte)
+    val r = Multimodal.withMediaFeatures(
+      Seq(("v", avi)).toDF("key", "blob"), "blob").head()
+    assert(r.getAs[String]("media_format") == "riff")
+    assert(r.getAs[Int]("media_width") == 5)
+    val hist = r.getAs[scala.collection.Seq[Float]]("media_features")
+    assert(math.abs(hist.sum - 1f) < 1e-5)
+    val mf = r.getAs[scala.collection.Seq[Int]]("media_frames")
+    assert(mf.length == 2) // frames 0 and 4 at stride 4
+    val img0 = Multimodal.decodeDibFrame(m, frames(0)).get
+    val img4 = Multimodal.decodeDibFrame(m, frames(4)).get
+    assert(mf == Seq(Multimodal.frameMeanLuma(img0),
+      Multimodal.frameMeanLuma(img4)))
+
+    // videoMeta operator emits the decoded stats as columns
+    val vm = Multimodal.videoMeta(
+      Seq(("v", avi), ("x", "not avi".getBytes)).toDF("key", "blob"),
+      "key", "blob").collect().map(r2 => r2.getString(0) -> r2).toMap
+    assert(vm("v").getAs[Int]("width") == 5)
+    assert(vm("v").getAs[Long]("total_frames") == 6L)
+    assert(vm("v").getAs[Double]("duration_ms") == 240.0)
+    assert(vm("v").getAs[scala.collection.Seq[Int]]("frame_means") == mf)
+    assert(vm("x").isNullAt(1))
+  }
+
   test("RIFF parsers never throw on arbitrary/adversarial bytes (fuzz)") {
     val rnd = new scala.util.Random(20260816L)
     // pure-random buffers

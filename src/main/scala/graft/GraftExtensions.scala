@@ -23,6 +23,10 @@ import graft.functions.FusedMeasuresExpr
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // one evaluation for N syntactically-repeated fused_measures(...)
+    // calls in a SELECT (and for conditions pushdown rebuilt from
+    // aliases) — see plans/MaterializeFused.scala
+    ext.injectOptimizerRule(_ => graft.plans.MaterializeFusedMeasures)
     ext.injectFunction((
       new FunctionIdentifier("fused_measures"),
       new ExpressionInfo("graft.functions.FusedMeasuresExpr",

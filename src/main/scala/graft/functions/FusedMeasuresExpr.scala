@@ -40,30 +40,24 @@ object FusedScorer {
   * regex/scorer engines genuinely need (PlanSpec asserts the codegen span
   * and scan schema).
   *
-  * `deterministic = false` is load-bearing: it stops CollapseProject from
-  * inlining this expression once per extracted struct field (5 fused
-  * evaluations per row instead of 1; PlanSpec asserts single evaluation).
-  * The expression IS functionally deterministic — a pure function of the
-  * text — so lineage/resume invariants are unaffected.
-  *
-  * KNOWN TRADEOFF of the flag: Catalyst also refuses to move other
-  * operators across a nondeterministic projection, so a LATER filter on a
-  * passthrough column (e.g. `.filter(col("url").startsWith(...))` applied
-  * AFTER QualityFilter.run) will not push down past this projection to
-  * the scan — filter before the pipeline if scan pruning matters. The
-  * principled alternative is Spark's common-expression (`With`)
-  * mechanism, but it shares subexpressions WITHIN one expression tree
-  * only — the 5 struct-field extractions here are separate expressions of
-  * one Project, which `With` cannot span; spanning them needs a custom
-  * optimizer rule that materializes the shared struct into its own
-  * Project (a candidate for GraftExtensions if the pushdown loss ever
-  * bites). See README "Fused expression" note.
+  * Evaluation-count contract (round 4 — the expression is DETERMINISTIC;
+  * the old blanket `deterministic = false` is gone, restoring filter
+  * pushdown through the pipeline projection):
+  *  - the alias + five-field-extraction shape stays single-evaluation on
+  *    stock Spark: CollapseProject refuses to inline a non-cheap
+  *    deterministic producer referenced more than once (SPARK-36718);
+  *  - the shapes stock Spark DOES duplicate (predicate pushdown
+  *    substituting the alias into a later `.filter(col("keep"))` — one
+  *    copy per verdict reference; N syntactic `fused_measures(...)` calls
+  *    in one SQL SELECT) are repaired by the
+  *    plans.MaterializeFusedMeasures optimizer rule, which materializes
+  *    the shared call once behind an EvalFence. PlanSpec asserts both the
+  *    single evaluation and the restored pushdown.
   */
 case class FusedMeasuresExpr(child: Expression, models: Boolean)
     extends UnaryExpression {
 
   override def nullable: Boolean = false
-  override lazy val deterministic: Boolean = false
   override def prettyName: String = "fused_measures"
 
   override def dataType: DataType = FusedMeasuresExpr.schema(models)

@@ -107,6 +107,17 @@ object QualityFilter {
     * (`html` is never read; PlanSpec/PipelineSpec assert both).
     */
   def run(pages: DataFrame, rules: Seq[RowRule] = defaultRules): DataFrame = {
+    // single-evaluation guard for sessions built WITHOUT
+    // spark.sql.extensions=graft.GraftExtensions: a later filter on a
+    // derived column (`.filter(col("keep"))`) would otherwise inline the
+    // fused expression once per verdict reference via predicate pushdown
+    // (measured 19x). experimental.extraOptimizations is the public
+    // per-session seam for exactly this; registering is idempotent.
+    val session = pages.sparkSession
+    if (!session.experimental.extraOptimizations
+        .contains(graft.plans.MaterializeFusedMeasures))
+      session.experimental.extraOptimizations ++=
+        Seq(graft.plans.MaterializeFusedMeasures)
     val needsModels = rules.exists(r =>
       r.measure == "ppl" || r.measure == "langid_score")
     // ONE fused expression computes model scores, the text-stats vector

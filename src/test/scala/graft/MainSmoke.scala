@@ -22,6 +22,19 @@ object MainSmoke {
     assert(extRow.getString(0) == "en", s"extensions langid: $extRow")
     assert(extRow.getInt(1) == 10, s"extensions word count: $extRow")
     println(s"EXTENSIONS fused_measures OK: $extRow")
+    // N syntactic fused_measures(...) calls in one SELECT collapse to ONE
+    // evaluation via the injected MaterializeFusedMeasures rule
+    extSession.range(3).createOrReplaceTempView("t")
+    val multi = extSession.sql(
+      "SELECT fused_measures(cast(id AS string), true).lang_pred AS a, " +
+        "fused_measures(cast(id AS string), true).ppl AS b, " +
+        "fused_measures(cast(id AS string), true).scrubbed_text AS c FROM t")
+    val multiPlan = multi.queryExecution.executedPlan.toString
+    val nFused = "fused_measures".r.findAllIn(multiPlan).length
+    assert(nFused == 1, s"SQL-surface fused calls not shared (x$nFused):\n" +
+      multiPlan.take(2000))
+    assert(multi.collect().length == 3)
+    println(s"EXTENSIONS optimizer rule OK: 3 syntactic calls -> $nFused evaluation")
     extSession.stop()
 
     val prep = org.apache.spark.sql.SparkSession.builder()

@@ -110,6 +110,32 @@ class PlanSpec extends AnyFunSuite {
       s"scan reads unreferenced columns: $rs")
   }
 
+  test("filter AFTER the pipeline on a passthrough column reaches the " +
+    "scan's PushedFilters (the deterministic-flag removal payoff)") {
+    val pages = graft.sources.Pages.load(spark, dir)
+    val q = graft.operators.QualityFilter.run(pages)
+      .filter(org.apache.spark.sql.functions.col("lang") === "en")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]"),
+      s"post-pipeline filter did not reach the scan:\n${plan.take(2000)}")
+    // and the pushdown did not duplicate the fused expression
+    assert("fused_measures".r.findAllIn(plan).length == 1,
+      s"fused expression duplicated:\n${plan.take(2000)}")
+  }
+
+  test("filter on a DERIVED column (keep) stays a single fused evaluation " +
+    "via MaterializeFusedMeasures (pushdown would inline it 19x)") {
+    val pages = graft.sources.Pages.load(spark, dir)
+    val q = graft.operators.QualityFilter.run(pages)
+      .filter(org.apache.spark.sql.functions.col("keep"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert("fused_measures".r.findAllIn(plan).length == 1,
+      s"fused expression duplicated by predicate pushdown:\n${plan.take(3000)}")
+    // the repair is an eval_fence-materialized projection below the filter
+    assert(plan.contains("eval_fence") || plan.contains("__fused_shared"),
+      s"expected the materialized fence in the plan:\n${plan.take(2000)}")
+  }
+
   test("fused expression equals the mapPartitions island row-for-row") {
     val pages = graft.sources.Pages.load(spark, dir).limit(200)
     val viaExpr = graft.operators.QualityFilter.run(pages)

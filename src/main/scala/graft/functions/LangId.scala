@@ -258,13 +258,21 @@ object LangId extends Serializable {
     var best = 0
     var k = 1
     while (k < nLangs) { if (scores(k) > scores(best)) best = k; k += 1 }
-    // per-gram mean scores; temperature-50 softmax for a spread confidence
-    var expSum = 0.0
+    // MARGIN-based confidence (round 4): two-way softmax on the per-gram
+    // top1-top2 margin, range [0.5, 1). The round-3 full softmax summed
+    // exp terms over EVERY language, so adding languages mechanically
+    // dragged confidence down (observed 5 -> 10) and made the frozen
+    // min_langid_score threshold |langs|-sensitive; the margin depends
+    // only on the two best-scoring languages, so the threshold survives
+    // model growth. Temperature 50 kept from round 3 (per-gram means are
+    // small; 50 spreads typical prose margins across [0.55, 1)).
+    var second = if (best == 0) 1 else 0
     k = 0
     while (k < nLangs) {
-      expSum += math.exp(50.0 * (scores(k) - scores(best)) / grams)
+      if (k != best && scores(k) > scores(second)) second = k
       k += 1
     }
-    (langs(best), 1.0 / expSum)
+    val margin = (scores(best) - scores(second)) / grams
+    (langs(best), 1.0 / (1.0 + math.exp(-50.0 * margin)))
   }
 }

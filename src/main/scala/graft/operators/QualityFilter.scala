@@ -69,7 +69,17 @@ object QualityFilter {
     // (non-Latin scripts fold to the degenerate low end), code blocks
     // start at ~390, symbol soup at ~4400
     RowRule("perplexity_band", "ppl", Condition.Between, Right((1.3, 300.0))),
-    RowRule("min_langid_score", "langid_score", Condition.Ge, Left(0.15))
+    // langid_score is the MARGIN-based confidence (round 4): a two-way
+    // softmax on the per-gram top1-top2 score margin, range [0.5, 1).
+    // Unlike the round-3 full softmax — whose values shrank mechanically
+    // every time a language was added — the margin reads only the two
+    // best languages, so this threshold is |langs|-STABLE: growing the
+    // model does not silently loosen or tighten the rule. 0.51 re-frozen
+    // from measured distributions: clean prose in all 10 languages sits
+    // >= 0.537, the four ambiguous mixed-script fixture docs the old rule
+    // dropped sit at 0.503-0.507 (still dropped), near-tie synthetic soup
+    // sits at 0.50-0.51.
+    RowRule("min_langid_score", "langid_score", Condition.Ge, Left(0.51))
   )
 
   /** Heuristic-only subset (no model columns) — SQL-expressible, used by

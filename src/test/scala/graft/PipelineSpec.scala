@@ -194,3 +194,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(df.columns.toSet.contains("scrubbed_text"))
   }
 }
+
+class EvalSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("keepF1: exact counts on a synthetic confusion matrix") {
+    // 4 TP, 1 FP, 2 FN, 3 TN over 10 docs
+    val pred = ((1 to 5).map(i => (s"u$i", true)) ++
+      (6 to 10).map(i => (s"u$i", false))).toDF("url", "keep")
+    val ref = ((1 to 4).map(i => (s"u$i", true)) ++
+      Seq(("u5", false)) ++ (6 to 7).map(i => (s"u$i", true)) ++
+      (8 to 10).map(i => (s"u$i", false))).toDF("url", "keep")
+    val m = graft.operators.Eval.keepF1(pred, ref)
+    assert(m.n == 10 && m.truePos == 4 && m.falsePos == 1 && m.falseNeg == 2)
+    assert(math.abs(m.precision - 0.8) < 1e-12)
+    assert(math.abs(m.recall - 4.0 / 6.0) < 1e-12)
+    assert(math.abs(m.f1 - 2 * 0.8 * (4.0 / 6.0) / (0.8 + 4.0 / 6.0)) < 1e-12)
+  }
+
+  test("north-rule acceptance shape: fused pipeline F1 = 1.0 against the " +
+    "mapPartitions island reference labels") {
+    val pages = graft.sources.Pages.load(spark, "/root/testdata/sf0.001")
+    val pred = graft.operators.QualityFilter.run(pages)
+    // independent reference: the island path computes keep from the same
+    // rule set through a different execution route
+    val st = org.apache.spark.sql.functions.col("__ts")
+    val verdicts = graft.operators.QualityFilter
+      .ruleVerdicts(graft.operators.QualityFilter.defaultRules, Some(st))
+    val ref = graft.functions.ModelScores
+      .withAllMeasures(pages.drop("html"), "text", models = true)
+      .withColumn("keep", verdicts.map(_._2).reduce(_ && _))
+    val m = graft.operators.Eval.keepF1(pred, ref)
+    assert(m.n == 500)
+    assert(m.f1 == 1.0, s"F1 ${m.f1} (tp=${m.truePos} fp=${m.falsePos} fn=${m.falseNeg})")
+  }
+}

@@ -497,9 +497,14 @@ object Dedup {
     * right one for THIS graph: [[collapseExact]] emits hub-and-spoke link
     * rows and LSH pairs connect representatives directly, so dup-cluster
     * diameter is small and bounded by construction (star expansion keeps
-    * even over-cap buckets at diameter <= 4). Each round's label state is
-    * persisted and the previous round unpersisted — the lineage does not
-    * grow with iterations.
+    * even over-cap buckets at diameter <= 4). Each round is
+    * localCheckpoint-truncated: every round's plan references the
+    * previous round's twice, so without truncation the LOGICAL plan
+    * doubles per iteration (a driver-side exponential that has nothing
+    * to do with data volume); checkpointed blocks are released by the
+    * ContextCleaner as rounds go out of scope. For graphs whose diameter
+    * is NOT bounded (long near-dup chains), use
+    * [[connectedComponentsStar]] — O(log^2 n) rounds regardless.
     */
   /** `strict = true` (the library default) aborts if the labels have not
     * converged after `maxIter` rounds — right when the input is a
@@ -520,10 +525,19 @@ object Dedup {
       .unionByName(pairs.select(col(keyB).as("a"), col(keyA).as("b")))
       .distinct()
       .persist()
+    // localCheckpoint per round, NOT persist: each round's plan references
+    // the previous round's TWICE (the union arm and the neighbor join), so
+    // without truncation the logical plan doubles per iteration — fine for
+    // the 3-5 rounds a bounded-diameter dup-graph needs, an exponential
+    // driver-side blowup by round ~12 (seen as an OOM analyzing round 12
+    // on a 200-hop chain). Checkpointing materializes the round and cuts
+    // the plan to a leaf; blocks are released by the ContextCleaner as
+    // rounds go out of scope. (On a cluster, reliable checkpointing would
+    // be the restart-safe variant of the same move.)
     var labels = edges.select(col("a").as("node"))
       .distinct()
       .withColumn("cluster_id", col("node"))
-      .persist()
+      .localCheckpoint(true)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -534,12 +548,11 @@ object Dedup {
       val next = labels.unionByName(viaNeighbor)
         .groupBy(col("node"))
         .agg(min(col("cluster_id")).as("cluster_id"))
-        .persist()
+        .localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("cluster_id", "old"),
           Seq("node"))
         .filter(col("cluster_id") =!= col("old"))
         .limit(1).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       iter += 1
@@ -556,9 +569,80 @@ object Dedup {
           s"connectedComponents did not converge in $maxIter rounds; " +
             "returning best-effort labels (some clusters may be split)")
     }
-    // the final labels stay persisted (they are materialized — every
-    // round's convergence count forced them); register for releaseCaches
-    trackedCaches.add(labels)
+    // the final labels are localCheckpoint-materialized; their blocks are
+    // released by the ContextCleaner once the caller drops the reference
+    labels
+  }
+
+  /** Connected components via alternating LARGE-STAR / SMALL-STAR rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    * the algorithm for dup-graphs whose diameter is NOT bounded by
+    * construction. Hash-min ([[connectedComponents]]) converges in
+    * O(diameter) rounds, which is right for the hub-and-spoke graphs the
+    * collapse/LSH operators emit but degrades to O(chain length) on
+    * chained near-dup pairs (serially-edited templated pages: A~B, B~C,
+    * ... each above threshold without A~C). Star contraction converges in
+    * O(log^2 n) rounds REGARDLESS of diameter:
+    *
+    *   large-star(u): every neighbor v > u re-attaches to
+    *                  m(u) = min(N(u) ∪ {u});
+    *   small-star(u): every neighbor v <= u re-attaches to m(u).
+    *
+    * Each round is two shuffles (a per-node min aggregation + a join
+    * back); per-round state is persisted and the previous round released,
+    * so lineage stays bounded like the hash-min loop. Returns the same
+    * (node, cluster_id = component minimum) contract.
+    */
+  def connectedComponentsStar(pairs: DataFrame, keyA: String = "key_a",
+                              keyB: String = "key_b",
+                              maxIter: Int = 50): DataFrame = {
+    def canon(e: DataFrame): DataFrame =
+      e.filter(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("a"),
+          greatest(col("a"), col("b")).as("b"))
+        .distinct()
+    // one star phase: per node u over the BIDIRECTED neighbor list,
+    // m(u) = min(neighbors, u); re-attach the selected neighbors to m(u)
+    def phase(e: DataFrame, large: Boolean): DataFrame = {
+      val nbr = e.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(e.select(col("b").as("u"), col("a").as("v")))
+      val m = nbr.groupBy(col("u"))
+        .agg(least(min(col("v")), col("u")).as("m"))
+      val selected =
+        if (large) nbr.filter(col("v") > col("u"))
+        else nbr.filter(col("v") <= col("u"))
+      canon(selected.join(m, Seq("u"))
+        .select(col("v").as("a"), col("m").as("b"))
+        .unionByName(m.select(col("u").as("a"), col("m").as("b"))))
+    }
+    // localCheckpoint per round (same reason as the hash-min loop): each
+    // phase references its input plan twice (neighbor list + min join),
+    // so un-truncated plans grow 4x per round
+    var edges = canon(
+      pairs.select(col(keyA).as("a"), col(keyB).as("b"))).localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val next = phase(phase(edges, large = true), large = false)
+        .localCheckpoint(true)
+      // fixed point: both phases leave the edge set unchanged — compare
+      // via an anti-join in each direction (cheap: edge sets shrink fast)
+      val changed =
+        next.join(edges, Seq("a", "b"), "left_anti").limit(1).count() +
+          edges.join(next, Seq("a", "b"), "left_anti").limit(1).count()
+      edges = next
+      converged = changed == 0
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge in $maxIter rounds " +
+          "(expected O(log^2 n) — raise maxIter)")
+    // at the fixed point every component is a star centered at its
+    // minimum; canon ordered each edge (a = center = min, b = member)
+    val labels = edges.select(col("b").as("node"), col("a").as("cluster_id"))
+      .unionByName(edges.select(col("a").as("node"), col("a").as("cluster_id")))
+      .groupBy(col("node")).agg(min(col("cluster_id")).as("cluster_id"))
     labels
   }
 

@@ -212,6 +212,52 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("large-star/small-star components match union-find on random " +
+    "graphs and converge on a long chain where hash-min cannot") {
+    val rnd = new scala.util.Random(20260817L)
+    def unionFindLabels(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = {
+        var r = x; while (parent(r) != r) r = parent(r); r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val present = edges.flatMap(e => Seq(e._1.toInt, e._2.toInt)).distinct
+      val minOf = present.groupBy(find).map { case (r, xs) => r -> xs.min }
+      present.map(x => x.toLong -> minOf(find(x)).toLong).toMap
+    }
+    (1 to 4).foreach { _ =>
+      val n = 4 + rnd.nextInt(12)
+      val edges = Seq.fill(4 + rnd.nextInt(16))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2).distinct
+      if (edges.nonEmpty) {
+        val got = Dedup.connectedComponentsStar(edges.toDF("key_a", "key_b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == unionFindLabels(n, edges), s"edges=$edges")
+      }
+    }
+    // 200-hop chain (keys descending so min-propagation must cross the
+    // whole chain): hash-min needs ~200 rounds — at maxIter=12 it must
+    // refuse; star contraction converges within the same 12 and labels
+    // every node with the chain minimum
+    val chain = (0L until 200L).map(i => (i, i + 1))
+    assertThrows[IllegalStateException] {
+      Dedup.connectedComponents(chain.toDF("key_a", "key_b"), maxIter = 12)
+    }
+    val star = Dedup.connectedComponentsStar(chain.toDF("key_a", "key_b"),
+      maxIter = 12).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star.size == 201 && star.values.forall(_ == 0L))
+    // non-strict hash-min on the same budget returns best-effort labels
+    // instead of aborting (the production long-chain escape hatch)
+    val bestEffort = Dedup.connectedComponents(
+      chain.toDF("key_a", "key_b"), maxIter = 12, strict = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bestEffort.size == 201)
+  }
+
   test("embedding near-dup pairs via LSH + cosine") {
     val vecs = Seq(
       (0L, Seq(1.0f, 0.0f, 0.0f, 0.2f)),

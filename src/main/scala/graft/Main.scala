@@ -16,7 +16,7 @@ import graft.sources.{MetricsStore, SampleGenerator}
   *   graft.Main filter  <pagesDir> <outDir> <metricsDir> <runId>
   *                      [buckets] [configYaml]
   *   graft.Main dedup   <docsParquet> <outDir> [jaccard] [keyCol] [textCol]
-  *                      [maxIter]
+  *                      [maxIter] [hashmin|star]
   *
   * `run` executes every check in the config against the parquet tables in
   * <tablesDir> (table name = file basename), appends metric rows, prints
@@ -148,21 +148,24 @@ object Main {
       // (key, cluster_id, keep) decisions written to <outDir>
       require(args.length >= 3,
         "usage: graft.Main dedup <docsParquet> <outDir> [jaccard] [keyCol] " +
-          "[textCol] [maxIter]")
+          "[textCol] [maxIter] [hashmin|star]")
       val threshold = if (args.length > 3) args(3).toDouble else 0.8
       val keyCol = if (args.length > 4) args(4) else "doc_id"
       val textCol = if (args.length > 5) args(5) else "text"
       // component-propagation round cap: the dup-graph construction bounds
       // cluster diameter, but a corpus with long chains of near-dup pairs
-      // (serially-edited pages) can exceed it — this is the operator knob
+      // (serially-edited pages) can exceed it — this is the operator knob;
+      // `star` switches to large-star/small-star contraction (O(log^2 n)
+      // rounds regardless of diameter) for exactly those corpora
       val maxIter = if (args.length > 6) args(6).toInt else 20
+      val algo = if (args.length > 7) args(7) else "hashmin"
       val spark = session("graft-dedup")
       val docs = spark.read.parquet(args(1))
       val pairs = graft.operators.Dedup.minhashLshDedup(
         docs, keyCol, textCol, jaccardThreshold = threshold)
         .select("key_a", "key_b")
       val decisions = graft.operators.Dedup.dedupDecisions(docs, pairs, keyCol,
-        maxIter = maxIter)
+        maxIter = maxIter, algorithm = algo)
       decisions.write.mode("overwrite").parquet(args(2))
       // output is on disk — drop the cached dedup intermediates
       graft.operators.Dedup.releaseCaches()

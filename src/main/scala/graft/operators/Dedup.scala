@@ -650,9 +650,22 @@ object Dedup {
     * and a keep flag (the cluster's minimum key survives). Documents in
     * no pair are their own singleton cluster.
     */
+  /** `algorithm`: "hashmin" (default — O(diameter) rounds, right for the
+    * diameter-bounded graphs the collapse/LSH operators emit) or "star"
+    * (large-star/small-star, O(log^2 n) rounds for graphs with long
+    * near-dup chains; `strict` does not apply — star always either
+    * converges or throws).
+    */
   def dedupDecisions(df: DataFrame, pairs: DataFrame, keyCol: String,
-                     maxIter: Int = 20, strict: Boolean = true): DataFrame = {
-    val cc = connectedComponents(pairs, maxIter = maxIter, strict = strict)
+                     maxIter: Int = 20, strict: Boolean = true,
+                     algorithm: String = "hashmin"): DataFrame = {
+    val cc = algorithm match {
+      case "hashmin" =>
+        connectedComponents(pairs, maxIter = maxIter, strict = strict)
+      case "star" => connectedComponentsStar(pairs, maxIter = maxIter)
+      case other => throw new IllegalArgumentException(
+        s"unknown components algorithm '$other' (expected hashmin|star)")
+    }
     df.select(col(keyCol))
       .join(cc.withColumnRenamed("node", keyCol), Seq(keyCol), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col(keyCol)))

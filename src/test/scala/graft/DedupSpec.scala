@@ -175,13 +175,20 @@ class DedupSpec extends AnyFunSuite {
     val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L))
       .toDF("key_a", "key_b")
     val docs = Seq(1L, 2L, 3L, 4L, 5L, 6L, 10L, 11L).toDF("doc_id")
+    val expect = Map(
+      1L -> ((1L, true)), 2L -> ((1L, false)), 3L -> ((1L, false)),
+      4L -> ((1L, false)), 5L -> ((5L, true)), 6L -> ((6L, true)),
+      10L -> ((10L, true)), 11L -> ((10L, false)))
     val out = graft.operators.Dedup.dedupDecisions(docs, pairs, "doc_id")
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2))))
       .toMap
-    assert(out == Map(
-      1L -> ((1L, true)), 2L -> ((1L, false)), 3L -> ((1L, false)),
-      4L -> ((1L, false)), 5L -> ((5L, true)), 6L -> ((6L, true)),
-      10L -> ((10L, true)), 11L -> ((10L, false))))
+    assert(out == expect)
+    // the star algorithm produces identical decisions through dedupDecisions
+    val outStar = graft.operators.Dedup.dedupDecisions(docs, pairs, "doc_id",
+        algorithm = "star")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    assert(outStar == expect)
   }
 
   test("connected components match union-find on random graphs (property)") {

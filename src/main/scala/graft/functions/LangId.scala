@@ -1,13 +1,15 @@
 package graft.functions
 
-/** fastText-style language identification: hashed character n-gram (2- and
-  * 3-gram) features scored against per-language profile vectors, softmax
-  * over cosine scores. Entirely deterministic — the "model" is derived at
-  * class-init from the frozen seed corpora below (public common words), so
-  * every executor JVM materializes identical weights with no broadcast and
-  * no training loop. This plays the role of the reference's delegated
-  * MEASURE() model measures (weiser/checks/numeric.py:18-26): a named
-  * measure computed by an external model rather than a SQL expression.
+/** fastText-style language identification: hashed character 1/2/3-gram
+  * features into a TRAINED linear softmax layer (round 4 — previously a
+  * cosine-to-centroid scorer; the trained head is the architecture the
+  * north star names). Entirely deterministic — the model trains at
+  * class-init from the frozen seed corpora below (public common words)
+  * with StrictMath arithmetic in a fixed order, so every executor JVM
+  * materializes identical weights with no broadcast and no model files.
+  * This plays the role of the reference's delegated MEASURE() model
+  * measures (weiser/checks/numeric.py:18-26): a named measure computed
+  * by an external model rather than a SQL expression.
   */
 object LangId extends Serializable {
 
@@ -182,24 +184,130 @@ object LangId extends Serializable {
     v
   }
 
-  /** Per-language profile vectors (the linear layer). */
+  /** Per-language profile vectors (the round-3 centroid model; kept as
+    * the deterministic INITIALIZATION of the trained layer below).
+    */
   lazy val profiles: Array[Array[Float]] = langs.map(l => featurize(seeds(l)))
 
-  /** Profiles interleaved bucket-major: packed(h*nLangs + k) = profiles(k)(h).
-    * One gram lookup then touches one cache line for all languages instead
-    * of one line per language — the scorer is memory-bound, not flop-bound.
+  /** Mean-normalized sparse features of `text`: (bucket ids, counts /
+    * totalGrams, totalGrams). EXACTLY the feature map the streaming
+    * scorer in [[predict]] applies — same grams, same hashes, same
+    * normalization (sum of per-gram weight reads divided by gram count)
+    * — so weights trained on these features score identically at
+    * inference. Training-time only; inference never materializes a
+    * vector.
     */
-  private lazy val packed: Array[Float] = {
+  private def meanFeaturize(text: String): (Array[Int], Array[Float], Int) = {
+    val counts = new Array[Int](dim)
+    val len = text.length + 2
+    @inline def allSpace(from: Int, until: Int): Boolean = {
+      var k = from
+      while (k < until) { if (cAt(text, k, len) != ' ') return false; k += 1 }
+      true
+    }
+    var grams = 0
+    var i = 0
+    while (i < len - 1) {
+      if (!allSpace(i, i + 1)) { counts(fnv1a(text, i, i + 1, len)) += 1; grams += 1 }
+      if (!allSpace(i, i + 2)) { counts(fnv1a(text, i, i + 2, len)) += 1; grams += 1 }
+      if (i < len - 2 && !allSpace(i, i + 3)) {
+        counts(fnv1a(text, i, i + 3, len)) += 1; grams += 1
+      }
+      i += 1
+    }
+    val idx = Array.newBuilder[Int]
+    val vals = Array.newBuilder[Float]
+    var h = 0
+    while (h < dim) {
+      if (counts(h) > 0) { idx += h; vals += counts(h).toFloat / grams }
+      h += 1
+    }
+    (idx.result(), vals.result(), grams)
+  }
+
+  /** TRAINED linear softmax head (round 4 — the fastText-style shape the
+    * north star names: hashed char n-gram features into a linear layer
+    * with softmax, discriminatively trained). Training is fully
+    * deterministic and runs once per JVM at class init (~1 s): examples
+    * are 6-word sliding windows (stride 3) over the frozen seed corpora,
+    * the optimizer is plain example-ordered SGD on softmax cross-entropy
+    * with a linearly-decayed rate (the fastText schedule), arithmetic is
+    * StrictMath so every executor materializes bit-identical weights.
+    * Initialized from the round-3 centroid profiles, so training refines
+    * the generative solution discriminatively (down-weighting grams
+    * shared between orthographic neighbors like es/pt instead of letting
+    * them vote for both).
+    */
+  private lazy val trainedModel: Array[Float] = {
     val n = langs.length
+    val examples: Array[(Int, Array[Int], Array[Float])] =
+      langs.zipWithIndex.flatMap { case (l, k) =>
+        val ws = seeds(l).split("\\s+").filter(_.nonEmpty)
+        ws.sliding(6, 3).map { w =>
+          val (idx, vals, _) = meanFeaturize(w.mkString(" "))
+          (k, idx, vals)
+        }
+      }.toArray
+    val w = Array.tabulate(n, dim)((k, h) => profiles(k)(h).toDouble)
+    // NO bias term: the window counts per language are imbalanced (seed
+    // lengths differ), and a learned bias just encodes that spurious
+    // prior (measured: everything collapses to the most-windowed class).
+    // Gradients are additionally class-balanced for the same reason.
+    val classWeight: Array[Double] = {
+      val cnt = new Array[Int](n)
+      examples.foreach { case (k, _, _) => cnt(k) += 1 }
+      val mean = examples.length.toDouble / n
+      cnt.map(c => mean / c)
+    }
+    val epochs = 40
+    val lr0 = 1.0
+    val totalSteps = epochs.toLong * examples.length
+    var step = 0L
+    val s = new Array[Double](n)
+    var e = 0
+    while (e < epochs) {
+      var x = 0
+      while (x < examples.length) {
+        val (label, idx, vals) = examples(x)
+        val lr = lr0 * (1.0 - step.toDouble / totalSteps) * classWeight(label)
+        var k = 0
+        while (k < n) {
+          var d = 0.0
+          var j = 0
+          while (j < idx.length) { d += w(k)(idx(j)) * vals(j); j += 1 }
+          s(k) = d
+          k += 1
+        }
+        var mx = s(0); k = 1
+        while (k < n) { if (s(k) > mx) mx = s(k); k += 1 }
+        var z = 0.0; k = 0
+        while (k < n) { s(k) = StrictMath.exp(s(k) - mx); z += s(k); k += 1 }
+        k = 0
+        while (k < n) {
+          val g = s(k) / z - (if (k == label) 1.0 else 0.0)
+          val lg = lr * g
+          var j = 0
+          while (j < idx.length) { w(k)(idx(j)) -= lg * vals(j); j += 1 }
+          k += 1
+        }
+        step += 1
+        x += 1
+      }
+      e += 1
+    }
+    // interleave bucket-major for the streaming scorer: packed(h*n + k) —
+    // one gram lookup touches one cache line for ALL languages
     val p = new Array[Float](dim * n)
     var h = 0
     while (h < dim) {
       var k = 0
-      while (k < n) { p(h * n + k) = profiles(k)(h); k += 1 }
+      while (k < n) { p(h * n + k) = w(k)(h).toFloat; k += 1 }
       h += 1
     }
     p
   }
+
+  private lazy val packed: Array[Float] = trainedModel
 
   /** (predicted lang, softmax confidence). Empty text -> ("und", 0.0).
     *
@@ -255,24 +363,31 @@ object LangId extends Serializable {
       i += 1
     }
     if (grams == 0) return ("und", 0.0)
+    // trained-head logits: per-gram mean of the weight reads — EXACTLY
+    // the (bias-free) function the training examples were fit on
+    // (meanFeaturize), so inference and training agree
     var best = 0
-    var k = 1
-    while (k < nLangs) { if (scores(k) > scores(best)) best = k; k += 1 }
-    // MARGIN-based confidence (round 4): two-way softmax on the per-gram
-    // top1-top2 margin, range [0.5, 1). The round-3 full softmax summed
-    // exp terms over EVERY language, so adding languages mechanically
-    // dragged confidence down (observed 5 -> 10) and made the frozen
-    // min_langid_score threshold |langs|-sensitive; the margin depends
-    // only on the two best-scoring languages, so the threshold survives
-    // model growth. Temperature 50 kept from round 3 (per-gram means are
-    // small; 50 spreads typical prose margins across [0.55, 1)).
+    var k = 0
+    while (k < nLangs) {
+      scores(k) = scores(k) / grams
+      if (scores(k) > scores(best)) best = k
+      k += 1
+    }
+    // MARGIN-based confidence (round 4): two-way softmax on the top1-top2
+    // logit margin, range [0.5, 1). The round-3 full softmax summed exp
+    // terms over EVERY language, so adding languages mechanically dragged
+    // confidence down and made the frozen min_langid_score threshold
+    // |langs|-sensitive; the margin depends only on the two best-scoring
+    // languages, so the threshold survives model growth. Temperature 1 —
+    // trained logit margins are already on a natural softmax scale
+    // (prose margins measured >= ~2, ambiguous mixed-script < ~0.5).
     var second = if (best == 0) 1 else 0
     k = 0
     while (k < nLangs) {
       if (k != best && scores(k) > scores(second)) second = k
       k += 1
     }
-    val margin = (scores(best) - scores(second)) / grams
-    (langs(best), 1.0 / (1.0 + math.exp(-50.0 * margin)))
+    val margin = scores(best) - scores(second)
+    (langs(best), 1.0 / (1.0 + math.exp(-margin)))
   }
 }

@@ -57,7 +57,7 @@ object Similarity {
   /** Sign-LSH bucket id from literal hyperplanes. */
   def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, j) =>
-      val pl = array(p.map(lit): _*)
+      val pl = array(p.toIndexedSeq.map(lit): _*)
       val dot = aggregate(zip_with(vec, pl,
         (x, s) => x.cast(DoubleType) * s), lit(0.0), _ + _)
       when(dot >= 0, lit(1L << j)).otherwise(lit(0L))
@@ -93,7 +93,7 @@ object Similarity {
     val probeBuckets = qBucket +: flips.map(j => qBucket ^ (1L << j))
     val q = array(query.map(lit): _*)
     df.withColumn("bucket", lshBucket(col(vecCol), planes))
-      .filter(col("bucket").isin(probeBuckets: _*))
+      .filter(col("bucket").isin(probeBuckets.toIndexedSeq: _*))
       .select(col(keyCol), cosine(col(vecCol), q).as("score"))
       .orderBy(col("score").desc, col(keyCol).asc)
       .limit(k)
@@ -118,7 +118,7 @@ object Similarity {
       .orderBy(col("__h")).limit(k)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    val cLit = array(centroids.map(c => array(c.map(lit): _*)): _*)
+    val cLit = array(centroids.toIndexedSeq.map(c => array(c.toIndexedSeq.map(lit): _*)): _*)
     // nearest centroid by cosine, as a pure Column expression
     val scores = transform(cLit, c => cosine(col(vecCol), c))
     val assigned = df.withColumn("__cell",
@@ -148,7 +148,7 @@ object Similarity {
     var centroids = seed
     var it = 0
     while (it < iters) {
-      val cLit = array(centroids.map(c => array(c.map(lit): _*)): _*)
+      val cLit = array(centroids.toIndexedSeq.map(c => array(c.toIndexedSeq.map(lit): _*)): _*)
       val scores = transform(cLit, c => cosine(col(vecCol), c))
       val assigned = df.select(
         (array_position(scores, array_max(scores)) - 1).as("__cell"),
@@ -167,7 +167,7 @@ object Similarity {
       centroids = next // cells with no members keep their previous centroid
       it += 1
     }
-    val cLit = array(centroids.map(c => array(c.map(lit): _*)): _*)
+    val cLit = array(centroids.toIndexedSeq.map(c => array(c.toIndexedSeq.map(lit): _*)): _*)
     val scores = transform(cLit, c => cosine(col(vecCol), c))
     (df.withColumn("__cell",
       array_position(scores, array_max(scores)) - 1), centroids)
@@ -191,7 +191,7 @@ object Similarity {
       .sortBy { case (c, _) => -cos(c, query) }
       .take(probes).map(_._2.toLong)
     val q = array(query.map(lit): _*)
-    indexed.filter(col("__cell").isin(cells: _*))
+    indexed.filter(col("__cell").isin(cells.toIndexedSeq: _*))
       .select(col(keyCol), cosine(col(vecCol), q).as("score"))
       .orderBy(col("score").desc, col(keyCol).asc)
       .limit(topK)

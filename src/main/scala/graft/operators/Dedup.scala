@@ -20,13 +20,14 @@ import org.apache.spark.sql.types._
 object Dedup {
 
   /** Intermediates persisted by the dedup operators (collapsed reps,
-    * candidate sets, final component labels). The persists are
-    * load-bearing — each is referenced by several downstream stages and
-    * bench passes reuse them across calls via plan identity — but a
-    * long-lived session would otherwise accumulate cached blocks per
-    * call, so every persist is registered here and a caller that is done
-    * with the RESULTS (e.g. after writing them to storage) releases them
-    * with [[releaseCaches]].
+    * candidate sets). The persists are load-bearing — each is referenced
+    * by several downstream stages and bench passes reuse them across
+    * calls via plan identity — but a long-lived session would otherwise
+    * accumulate cached blocks per call, so every persist is registered
+    * here and a caller that is done with the RESULTS (e.g. after writing
+    * them to storage) releases them with [[releaseCaches]]. (The
+    * connected-components loops use localCheckpoint instead; their
+    * blocks are released by the ContextCleaner once unreferenced.)
     */
   private val trackedCaches =
     java.util.concurrent.ConcurrentHashMap.newKeySet[DataFrame]()

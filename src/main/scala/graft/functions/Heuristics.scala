@@ -35,7 +35,36 @@ object Heuristics {
     "für", "ist", "im", "dem", "nicht", "ein", "eine", "als", "auch", "es",
     // zh (function characters)
     "的", "一", "是", "在", "不", "了", "有", "和", "人", "这",
-    "中", "大", "为", "上", "个", "我", "以", "要", "他", "们"
+    "中", "大", "为", "上", "个", "我", "以", "要", "他", "们",
+    // round-4 coverage fix: the list above only covered the round-1
+    // languages, so min_stopword_fraction silently dropped ALL ru prose
+    // and half of ja (frozen into the round-3 goldens as keep=false) and
+    // would have dropped every ko document. A multilingual filter needs
+    // function-word coverage for every language it claims to identify;
+    // these are the same public frequency-list words the langid seeds
+    // draw from. Goldens regenerated deliberately with the keep flips
+    // audited (ru/ja/ko/pl prose now kept — the POINT of the change).
+    // it
+    "di", "e", "il", "che", "per", "un", "non", "sono", "si", "da",
+    "come", "più", "ma", "se", "anche", "della", "questo", "gli", "alla", "nel",
+    // pt
+    "o", "do", "da", "em", "uma", "os", "mais", "dos", "mas", "foi",
+    "ao", "ele", "tem", "ser", "há", "já", "está", "você", "muito", "quando",
+    // nl
+    "het", "een", "van", "dat", "op", "te", "zijn", "voor", "met", "niet",
+    "aan", "er", "om", "door", "maar", "dan", "ook", "bij", "nog", "naar",
+    // ru
+    "и", "в", "не", "на", "я", "что", "он", "с", "как", "это",
+    "она", "по", "но", "они", "к", "у", "из", "за", "то", "все",
+    // ja
+    "の", "に", "は", "を", "た", "が", "で", "て", "と", "し",
+    "ある", "いる", "する", "から", "な", "こと", "この", "その", "また", "もの",
+    // pl
+    "nie", "się", "w", "i", "z", "co", "jest", "że", "tak",
+    "jak", "ale", "po", "ja", "ty", "już", "tylko", "czy", "gdzie", "teraz",
+    // ko
+    "이", "그", "저", "것", "수", "들", "등", "및", "에서", "은",
+    "는", "가", "을", "를", "에", "의", "로", "와", "과", "도"
   ).distinct
 
   def docLength(text: Column): Column = length(coalesce(text, lit("")))

@@ -14,7 +14,8 @@ package graft.functions
 object LangId extends Serializable {
 
   val langs: Array[String] =
-    Array("en", "es", "fr", "de", "zh", "it", "pt", "nl", "ru", "ja")
+    Array("en", "es", "fr", "de", "zh", "it", "pt", "nl", "ru", "ja",
+      "pl", "ko")
 
   /** Frozen seed corpora: the most common function words per language,
     * plus (round 3) a band of high-frequency CONTENT words — a profile
@@ -116,7 +117,32 @@ object LangId extends Serializable {
       "せ だっ できる それ う ので なお のみ でき き つ における および " +
       "いう さらに でも ら たり ます ん なら に対して 特に せる 及び " +
       "これら とき では にて ほか ながら うち そして とともに ただし " +
-      "かつて それぞれ または 日本 年 月 日 人 大きな 小さな 新しい")
+      "かつて それぞれ または 日本 年 月 日 人 大きな 小さな 新しい"),
+    // round-4 depth expansion: two more languages (one new script). Same
+    // recipe — the language's most common function words plus a band of
+    // content words, public frequency-list knowledge, frozen. Polish
+    // carries its distinctive digraph/diacritic orthography (cz/sz/rz,
+    // ą/ę/ł/ż/ś); Korean is hangul — particles plus common nouns/verb
+    // forms.
+    "pl" -> ("nie to się w na i z co jest że do tak jak o mnie a ale mi po " +
+      "ja za tu ty już tylko jej go tego jestem może pan dla ciebie coś " +
+      "tym być ma cię mam was wszystko nic tam więc jeszcze dobrze będzie " +
+      "czy gdzie teraz chcę wiem przez ten musi ich nas mój bardzo sobie " +
+      "kiedy która które który też przed od przy bez nad pod między " +
+      "podczas właśnie można trzeba jednak dlatego ponieważ oraz także " +
+      "również innych każdy wszystkich czas dzień świat dom człowiek rok " +
+      "ręka praca słowo miejsce miasto kraj woda noc rodzina osoba grupa " +
+      "problem punkt godzina dziecko kobieta mężczyzna szkoła państwo " +
+      "życie historia pytanie liczba informacja badanie zmiana powód " +
+      "wynik zdrowie biuro drzwi jeszcze wszystkim którzy została zostały"),
+    "ko" -> ("이 그 저 것 수 들 등 및 에서 그리고 하지만 그러나 우리 당신 " +
+      "사람 시간 생활 세계 하루 집 남자 여자 학교 나라 물 밤 가족 사람들 " +
+      "그룹 문제 말 장소 도시 일 년 월 손 머리 마음 때문 위해 대한 통해 " +
+      "있는 없는 하는 되는 같은 다른 모든 어떤 이런 그런 한국 서울 오늘 " +
+      "내일 어제 지금 여기 거기 무엇 누구 언제 어디 왜 어떻게 은 는 가 " +
+      "을 를 에 의 로 와 과 도 만 까지 부터 보다 처럼 에게 한다 했다 " +
+      "있다 없다 된다 합니다 있습니다 없습니다 때 곳 말했다 생각 경우 " +
+      "정도 이후 동안 모두 다시 함께 바로 가장 매우 아주 너무 정말")
   )
 
   val dim: Int = 1 << 12

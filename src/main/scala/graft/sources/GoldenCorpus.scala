@@ -22,6 +22,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - (idx >= 240) web-junk: nav-menu boilerplate, code blocks
   *  - (idx >= 280) clean prose in the round-3 depth languages
   *    (it/pt/nl/ru/ja — two extra scripts)
+  *  - (idx >= 330) clean prose in the round-4 depth languages
+  *    (pl/ko — one more script)
   */
 object GoldenCorpus {
 
@@ -32,6 +34,11 @@ object GoldenCorpus {
     * byte-stable.
     */
   private val extraLangs = Array("it", "pt", "nl", "ru", "ja")
+
+  /** Round-4 depth languages, appended past index 330 — same byte-stable
+    * append discipline.
+    */
+  private val extraLangs2 = Array("pl", "ko")
 
   /** FROZEN fixture vocabularies — a snapshot of the LangId seed corpora
     * as of round 3, deliberately NOT a reference to LangId.seeds: the
@@ -107,7 +114,24 @@ object GoldenCorpus {
       "せ だっ できる それ う ので なお のみ でき き つ における および " +
       "いう さらに でも ら たり ます ん なら に対して 特に せる 及び " +
       "これら とき では にて ほか ながら うち そして とともに ただし " +
-      "かつて それぞれ または 日本 年 月 日 人 大きな 小さな 新しい")
+      "かつて それぞれ または 日本 年 月 日 人 大きな 小さな 新しい"),
+    // round-4 snapshots (same freeze discipline as above)
+    "pl" -> ("nie to się w na i z co jest że do tak jak o mnie a ale mi po " +
+      "ja za tu ty już tylko jej go tego jestem może pan dla ciebie coś " +
+      "tym być ma cię mam was wszystko nic tam więc jeszcze dobrze będzie " +
+      "czy gdzie teraz chcę wiem przez ten musi ich nas mój bardzo sobie " +
+      "kiedy która które który też przed od przy bez nad pod między " +
+      "podczas właśnie można trzeba jednak dlatego ponieważ oraz także " +
+      "również innych każdy wszystkich czas dzień świat dom człowiek rok " +
+      "ręka praca słowo miejsce miasto kraj woda noc rodzina osoba grupa " +
+      "problem punkt godzina dziecko kobieta mężczyzna szkoła państwo"),
+    "ko" -> ("이 그 저 것 수 들 등 및 에서 그리고 하지만 그러나 우리 당신 " +
+      "사람 시간 생활 세계 하루 집 남자 여자 학교 나라 물 밤 가족 사람들 " +
+      "그룹 문제 말 장소 도시 일 년 월 손 머리 마음 때문 위해 대한 통해 " +
+      "있는 없는 하는 되는 같은 다른 모든 어떤 이런 그런 한국 서울 오늘 " +
+      "내일 어제 지금 여기 거기 무엇 누구 언제 어디 왜 어떻게 은 는 가 " +
+      "을 를 에 의 로 와 과 도 만 까지 부터 보다 처럼 에게 한다 했다 " +
+      "있다 없다 된다 합니다 있습니다 없습니다 때 곳 말했다 생각 경우")
   )
 
   private def words(lang: String): Array[String] =
@@ -126,13 +150,14 @@ object GoldenCorpus {
   def doc(i: Int): (String, String, String) = {
     val rnd = new scala.util.Random(i.toLong * 7919 + 42)
     val lang =
-      if (i >= 280) extraLangs((i - 280) % extraLangs.length)
+      if (i >= 330) extraLangs2((i - 330) % extraLangs2.length)
+      else if (i >= 280) extraLangs((i - 280) % extraLangs.length)
       else langs(i % langs.length)
     val ws = words(lang)
     def sentence(n: Int): String =
       (0 until n).map(_ => ws(rnd.nextInt(ws.length))).mkString(" ")
     val cls =
-      if (i >= 280) 14          // clean prose in the round-3 languages
+      if (i >= 280) 14          // clean prose in the round-3/4 languages
       else if (i >= 240) 12 + (i % 2)
       else i % 12
     val text = cls match {
@@ -178,7 +203,7 @@ object GoldenCorpus {
     (s"https://fixture.example.com/doc/$i", text, lang)
   }
 
-  def generate(spark: SparkSession, n: Int = 330): DataFrame = {
+  def generate(spark: SparkSession, n: Int = 370): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     spark.createDataset((0 until n).map(doc))

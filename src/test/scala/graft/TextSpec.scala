@@ -112,6 +112,9 @@ class ModelSpec extends AnyFunSuite {
     assert(LangId.predict("het huis is erg groot en de kinderen zijn op school met hun vrienden")._1 == "nl")
     assert(LangId.predict("наш дом очень большой и дети учатся в школе с друзьями")._1 == "ru")
     assert(LangId.predict("この家はとても大きくて子供たちは学校で勉強しています")._1 == "ja")
+    // round-4 depth languages (one more script)
+    assert(LangId.predict("nie wiem gdzie jest teraz ten dom ale może być bardzo dobrze")._1 == "pl")
+    assert(LangId.predict("우리 가족 은 지금 학교 에서 한국 말 을 공부 하고 있습니다")._1 == "ko")
   }
 
   test("langid invariant under whitespace padding; empty => und") {

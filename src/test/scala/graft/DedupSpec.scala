@@ -246,6 +246,17 @@ class DedupSpec extends AnyFunSuite {
         assert(got == unionFindLabels(n, edges), s"edges=$edges")
       }
     }
+    // one larger graph (200 nodes, ~300 edges, mixed components) against
+    // union-find — the small graphs above can miss multi-round collapse
+    // interactions
+    val nBig = 200
+    val bigEdges = Seq.fill(300)(
+      (rnd.nextInt(nBig).toLong, rnd.nextInt(nBig).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val gotBig = Dedup.connectedComponentsStar(bigEdges.toDF("key_a", "key_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotBig == unionFindLabels(nBig, bigEdges))
+
     // 200-hop chain (keys descending so min-propagation must cross the
     // whole chain): hash-min needs ~200 rounds — at maxIter=12 it must
     // refuse; star contraction converges within the same 12 and labels

@@ -16,7 +16,8 @@ import graft.sources.{MetricsStore, SampleGenerator}
   *   graft.Main filter  <pagesDir> <outDir> <metricsDir> <runId>
   *                      [buckets] [configYaml]
   *   graft.Main dedup   <docsParquet> <outDir> [jaccard] [keyCol] [textCol]
-  *                      [maxIter] [hashmin|star]
+  *                      [maxIter] [hashmin|star] [strict|besteffort]
+  *   graft.Main eval    <predParquet> <refParquet> [keyCol] [labelCol]
   *
   * `run` executes every check in the config against the parquet tables in
   * <tablesDir> (table name = file basename), appends metric rows, prints
@@ -148,7 +149,7 @@ object Main {
       // (key, cluster_id, keep) decisions written to <outDir>
       require(args.length >= 3,
         "usage: graft.Main dedup <docsParquet> <outDir> [jaccard] [keyCol] " +
-          "[textCol] [maxIter] [hashmin|star]")
+          "[textCol] [maxIter] [hashmin|star] [strict|besteffort]")
       val threshold = if (args.length > 3) args(3).toDouble else 0.8
       val keyCol = if (args.length > 4) args(4) else "doc_id"
       val textCol = if (args.length > 5) args(5) else "text"
@@ -159,21 +160,52 @@ object Main {
       // rounds regardless of diameter) for exactly those corpora
       val maxIter = if (args.length > 6) args(6).toInt else 20
       val algo = if (args.length > 7) args(7) else "hashmin"
+      // strict (default): hashmin throws if maxIter rounds don't converge;
+      // besteffort: accept the labels of the last round (clusters may be
+      // split, never merged wrongly) — the spark-submit escape hatch when a
+      // pathological chain corpus must still produce output tonight
+      val strict = if (args.length > 8) args(8) match {
+        case "strict" => true
+        case "besteffort" => false
+        case other => sys.error(
+          s"unknown convergence mode '$other' (expected strict|besteffort)")
+      } else true
       val spark = session("graft-dedup")
-      val docs = spark.read.parquet(args(1))
-      val pairs = graft.operators.Dedup.minhashLshDedup(
-        docs, keyCol, textCol, jaccardThreshold = threshold)
-        .select("key_a", "key_b")
-      val decisions = graft.operators.Dedup.dedupDecisions(docs, pairs, keyCol,
-        maxIter = maxIter, algorithm = algo)
-      decisions.write.mode("overwrite").parquet(args(2))
-      // output is on disk — drop the cached dedup intermediates
-      graft.operators.Dedup.releaseCaches()
+      // scoped registry: intermediates persist for the duration of this
+      // build+write and release on exit, without touching caches of any
+      // concurrent dedup job sharing the session
+      graft.operators.Dedup.withCacheScope {
+        val docs = spark.read.parquet(args(1))
+        val pairs = graft.operators.Dedup.minhashLshDedup(
+          docs, keyCol, textCol, jaccardThreshold = threshold)
+          .select("key_a", "key_b")
+        val decisions = graft.operators.Dedup.dedupDecisions(docs, pairs,
+          keyCol, maxIter = maxIter, strict = strict, algorithm = algo)
+        decisions.write.mode("overwrite").parquet(args(2))
+      }
       val out = spark.read.parquet(args(2))
       val total = out.count()
       val dropped = out.filter(!col("keep")).count()
       println(s"dedup complete: $total docs, $dropped duplicates dropped " +
         s"(${total - dropped} kept) at jaccard >= $threshold")
+      spark.stop()
+
+    case Some("eval") =>
+      // acceptance-metric measurement from spark-submit: keep/drop F1 of a
+      // predicted-verdicts parquet against a reference-labels parquet,
+      // joined on keyCol (north rule: F1 >= 0.99 vs reference labels).
+      // Prints ONE machine-readable JSON line.
+      require(args.length >= 3,
+        "usage: graft.Main eval <predParquet> <refParquet> [keyCol] [labelCol]")
+      val keyCol = if (args.length > 3) args(3) else "url"
+      val labelCol = if (args.length > 4) args(4) else "keep"
+      val spark = session("graft-eval")
+      val r = graft.operators.Eval.keepF1(
+        spark.read.parquet(args(1)), spark.read.parquet(args(2)),
+        keyCol, labelCol)
+      println(s"""{"n":${r.n},"tp":${r.truePos},"fp":${r.falsePos},""" +
+        s""""fn":${r.falseNeg},"precision":${r.precision},""" +
+        s""""recall":${r.recall},"f1":${r.f1}}""")
       spark.stop()
 
     case Some(first) =>
@@ -183,7 +215,7 @@ object Main {
       // must error as such, not start a filter job against wrong paths.
       if (first != "filter" && !new java.io.File(first).isDirectory)
         sys.error(s"unknown subcommand '$first' " +
-          "(expected run|compile|sample|filter|dedup, or an existing " +
+          "(expected run|compile|sample|filter|dedup|eval, or an existing " +
           "pagesDir for the legacy positional filter form)")
       val a = if (first == "filter") args.drop(1) else args
       require(a.length >= 4,
@@ -210,6 +242,6 @@ object Main {
       spark.stop()
 
     case None =>
-      sys.error("usage: graft.Main run|compile|sample|filter|dedup ...")
+      sys.error("usage: graft.Main run|compile|sample|filter|dedup|eval ...")
   }
 }

@@ -414,6 +414,10 @@ object LangId extends Serializable {
       k += 1
     }
     val margin = scores(best) - scores(second)
-    (langs(best), 1.0 / (1.0 + math.exp(-margin)))
+    // StrictMath, not Math: Math.exp permits platform-dependent ulps, so on
+    // a heterogeneous (x86+ARM) cluster a doc sitting exactly at the frozen
+    // 0.51 threshold could flip keep/drop across executors. Training already
+    // uses StrictMath for the same bit-determinism contract.
+    (langs(best), 1.0 / (1.0 + StrictMath.exp(-margin)))
   }
 }

@@ -73,6 +73,10 @@ object Perplexity extends Serializable {
     }
     val oov = k
     val K = k + 1
+    // symId is Array[Byte]: a seed-corpus expansion pushing the used-ASCII
+    // count past 127 would overflow the signed-byte ids silently and corrupt
+    // every table lookup. Fail loudly instead (switch to Array[Short] then).
+    require(K <= 127, s"perplexity symbol alphabet K=$K exceeds signed-byte id range")
     s = 0
     while (s < V) { if (!used(s)) symId(s) = oov.toByte; s += 1 }
     // counts in compact space; the corpus contains only used symbols, so

@@ -32,16 +32,47 @@ object Dedup {
   private val trackedCaches =
     java.util.concurrent.ConcurrentHashMap.newKeySet[DataFrame]()
 
+  /** Per-invocation cache scope: DataFrame/plan construction happens on the
+    * caller's thread, so a thread-local scope captures exactly the persists
+    * of one dedup invocation even when several jobs share a long-lived
+    * session from different threads (the JVM-global registry would let one
+    * caller's release unpersist another's live intermediates).
+    */
+  private val scopeCaches =
+    new ThreadLocal[java.util.Set[DataFrame]]()
+
   private def persistTracked(df: DataFrame): DataFrame = {
     df.persist()
-    trackedCaches.add(df)
+    val scoped = scopeCaches.get()
+    if (scoped != null) scoped.add(df) else trackedCaches.add(df)
     df
   }
 
-  /** Unpersist every intermediate cached by dedup operators since the
-    * last release. Call after the dedup OUTPUT is materialized (written /
-    * collected); lazy plans derived from a dedup result will recompute
-    * from scratch after this.
+  /** Run `body` with a per-invocation cache scope: every intermediate the
+    * dedup operators persist while `body` constructs plans on this thread
+    * is unpersisted when `body` returns. Materialize the dedup OUTPUT
+    * (write/collect) inside `body` — lazy plans escaping the scope
+    * recompute from scratch. Safe for concurrent dedup jobs on separate
+    * threads of one session, unlike the global [[releaseCaches]].
+    */
+  def withCacheScope[T](body: => T): T = {
+    val prev = scopeCaches.get()
+    val mine = java.util.concurrent.ConcurrentHashMap.newKeySet[DataFrame]()
+    scopeCaches.set(mine)
+    try body
+    finally {
+      scopeCaches.set(prev)
+      mine.forEach(_.unpersist(false))
+    }
+  }
+
+  /** Unpersist every intermediate cached by dedup operators OUTSIDE any
+    * [[withCacheScope]] since the last release. SESSION-EXCLUSIVE: this
+    * drains a JVM-global registry, so in a shared session it may unpersist
+    * intermediates of a concurrent unscoped dedup job — concurrent callers
+    * must use [[withCacheScope]] instead. Call after the dedup OUTPUT is
+    * materialized; lazy plans derived from a dedup result recompute from
+    * scratch after this.
     */
   def releaseCaches(): Unit = {
     val it = trackedCaches.iterator()

@@ -123,11 +123,7 @@ object QualityFilter {
     // fused expression once per verdict reference via predicate pushdown
     // (measured 19x). experimental.extraOptimizations is the public
     // per-session seam for exactly this; registering is idempotent.
-    val session = pages.sparkSession
-    if (!session.experimental.extraOptimizations
-        .contains(graft.plans.MaterializeFusedMeasures))
-      session.experimental.extraOptimizations ++=
-        Seq(graft.plans.MaterializeFusedMeasures)
+    graft.plans.MaterializeFusedMeasures.register(pages.sparkSession)
     val needsModels = rules.exists(r =>
       r.measure == "ppl" || r.measure == "langid_score")
     // ONE fused expression computes model scores, the text-stats vector

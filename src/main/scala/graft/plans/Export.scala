@@ -144,7 +144,7 @@ object Export {
       s"""{"name":${js(f.name)},"dataset":${js(f.dataset)},""" +
         s""""datasource":${js(f.datasource)},"check_id":${js(f.checkId)},""" +
         s""""condition":${js(f.condition)},""" +
-        s""""actual_value":${f.actualValue.map(_.toString).getOrElse("null")},""" +
+        s""""actual_value":${f.actualValue.filter(java.lang.Double.isFinite).map(_.toString).getOrElse("null")},""" +
         s""""threshold":${js(f.threshold)},"type":${js(f.checkType)}}"""
     }.mkString("[", ",", "]")
     s"""{"run_id":${js(r.runId)},"total":${r.total},"passed":${r.passed},""" +

@@ -71,6 +71,14 @@ case class EvalFence(child: Expression) extends UnaryExpression {
   */
 object MaterializeFusedMeasures extends Rule[LogicalPlan] {
 
+  /** Idempotently register this rule on a plain session's
+    * `experimental.extraOptimizations` — the public per-session seam for
+    * sessions built without `spark.sql.extensions=graft.GraftExtensions`.
+    */
+  def register(session: org.apache.spark.sql.SparkSession): Unit =
+    if (!session.experimental.extraOptimizations.contains(this))
+      session.experimental.extraOptimizations ++= Seq(this)
+
   private def fusedCalls(exprs: Seq[Expression]): Seq[FusedMeasuresExpr] =
     exprs.flatMap(_.collect { case f: FusedMeasuresExpr => f })
 
@@ -170,12 +178,19 @@ object MaterializeFusedMeasures extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     // a filter whose condition shares fused calls with the projection
     // above it (the post-pushdown `.filter(col("keep"))` shape): one
-    // materialization feeds both. Only when the CONDITION itself contains
-    // a call — otherwise materializing below the filter would evaluate
-    // fused on pre-filter rows.
+    // materialization feeds both. Only groups the CONDITION's own calls
+    // belong to are materialized below the filter — a group formed purely
+    // of duplicates within the projection list (a distinct call in the
+    // condition) must NOT be placed there, or it evaluates on pre-filter
+    // rows; the plain Project case handles list-only sharing above the
+    // filter on the fixed point's next pass.
     case p @ Project(list, f @ Filter(cond, child))
-        if fusedCalls(Seq(cond)).nonEmpty && shared(list :+ cond, child).nonEmpty =>
+        if shared(list :+ cond, child).keySet
+          .intersect(fusedCalls(Seq(cond)).map(_.canonicalized).toSet)
+          .nonEmpty =>
+      val condCanon = fusedCalls(Seq(cond)).map(_.canonicalized).toSet
       val reps = shared(list :+ cond, child)
+        .filter { case (canon, _) => condCanon.contains(canon) }
       val (mat, attrs) = materialize(child, reps)
       val newList = list.map(rewrite(_, attrs).asInstanceOf[NamedExpression])
       Project(newList, Filter(rewrite(cond, attrs), mat))

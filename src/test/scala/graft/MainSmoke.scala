@@ -91,6 +91,41 @@ object MainSmoke {
     Main.main(Array("dedup", "/root/testdata/sf0.001/documents.parquet",
       s"$tmp/dedup", "0.5"))
 
+    // eval: the acceptance metric (keep/drop F1) from the CLI. Reference
+    // labels = the filter's own verdicts with ~1/50 of keeps flipped, so
+    // the confusion counts are non-trivial and known independently.
+    {
+      val fx = org.apache.spark.sql.SparkSession.builder()
+        .master("local[4]").config("spark.ui.enabled", "false").getOrCreate()
+      import org.apache.spark.sql.functions.{col, abs, hash, pmod, when, lit}
+      val pred = fx.read.parquet(s"$tmp/out").select("url", "keep")
+      val flip = pmod(abs(hash(col("url"))), lit(50)) === 0
+      val ref = pred.withColumn("keep", when(flip, !col("keep"))
+        .otherwise(col("keep")))
+      ref.write.parquet(s"$tmp/refLabels")
+      val n = pred.count()
+      val expTp = pred.filter(col("keep") && !flip).count()
+      val expFp = pred.filter(col("keep") && flip).count()
+      val expFn = pred.filter(!col("keep") && flip).count()
+      assert(expFp + expFn > 0, "flip fixture selected no rows")
+      fx.stop()
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(out, true)) {
+        Main.main(Array("eval", s"$tmp/out", s"$tmp/refLabels"))
+      }
+      val line = out.toString.linesIterator
+        .find(_.startsWith("{\"n\":")).getOrElse(
+          sys.error(s"eval printed no JSON line:\n${out.toString.take(500)}"))
+      val p = expTp.toDouble / (expTp + expFp)
+      val r = expTp.toDouble / (expTp + expFn)
+      val expF1 = 2 * p * r / (p + r)
+      assert(line.contains(s""""n":$n""") && line.contains(s""""tp":$expTp""") &&
+        line.contains(s""""fp":$expFp""") && line.contains(s""""fn":$expFn""") &&
+        line.contains(s""""f1":$expF1"""), s"eval line mismatch: $line " +
+        s"(expected n=$n tp=$expTp fp=$expFp fn=$expFn f1=$expF1)")
+      println(s"EVAL subcommand OK: $line")
+    }
+
     val check = org.apache.spark.sql.SparkSession.builder()
       .master("local[4]").config("spark.ui.enabled", "false").getOrCreate()
     val dd = check.read.parquet(s"$tmp/dedup")

@@ -136,6 +136,49 @@ class PlanSpec extends AnyFunSuite {
       s"expected the materialized fence in the plan:\n${plan.take(2000)}")
   }
 
+  test("fused call referenced from an Aggregate stays a single evaluation " +
+    "(SPARK-36718 guard boundary, pinned so a rule-ordering change can't " +
+    "silently reintroduce per-reference inlining)") {
+    val pages = graft.sources.Pages.load(spark, dir)
+    val q = graft.operators.QualityFilter.run(pages)
+      .groupBy(col("lang_pred")).count()
+    val plan = q.queryExecution.executedPlan.toString
+    assert("fused_measures".r.findAllIn(plan).length == 1,
+      s"fused expression duplicated under Aggregate:\n${plan.take(3000)}")
+    assert(q.count() > 0)
+  }
+
+  test("a shared group formed ONLY in the projection list materializes " +
+    "ABOVE a filter whose condition holds a distinct fused call — never " +
+    "below it on pre-filter rows") {
+    graft.plans.MaterializeFusedMeasures.register(spark)
+    val pages = graft.sources.Pages.load(spark, dir)
+      .select(col("url"), col("text"), col("lang"))
+    // distinct call in the condition; a DIFFERENT call duplicated in the
+    // projection — the old Project-over-Filter guard fired on ANY
+    // condition call and put the list-only group below the filter
+    val condCall = graft.functions.FusedMeasuresExpr(col("text"), false)
+    val listCall = graft.functions.FusedMeasuresExpr(
+      concat(col("text"), lit("x")), false)
+    val q = pages
+      .filter(length(condCall.getField("scrubbed_text")) > lit(0))
+      .select(listCall.getField("scrubbed_text").as("a"),
+        listCall.getField("stats").as("b"))
+    val plan = q.queryExecution.executedPlan.toString
+    // condition call single (1) + shared list call materialized once (1);
+    // the FileScan line echoes the filter condition in DataFilters — a
+    // print artifact, not an evaluation — so count non-scan lines only
+    val evalLines = plan.linesIterator.filterNot(_.contains("FileScan")).mkString("\n")
+    assert("fused_measures".r.findAllIn(evalLines).length == 2,
+      s"expected exactly 2 fused evaluations:\n${plan.take(3000)}")
+    val fenceAt = plan.indexOf("__fused_shared")
+    val filterAt = plan.indexOf("Filter ")
+    assert(fenceAt >= 0 && filterAt >= 0 && fenceAt < filterAt,
+      s"list-only shared group materialized below the filter " +
+        s"(fence@$fenceAt, filter@$filterAt):\n${plan.take(3000)}")
+    assert(q.count() > 0)
+  }
+
   test("fused expression equals the mapPartitions island row-for-row") {
     val pages = graft.sources.Pages.load(spark, dir).limit(200)
     val viaExpr = graft.operators.QualityFilter.run(pages)

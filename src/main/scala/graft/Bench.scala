@@ -80,6 +80,43 @@ object Bench {
     threads * per / ((System.nanoTime() - t0) / 1e9) / 1e9
   }
 
+  /** Memory-BANDWIDTH probe (round-5 protocol fix): N threads streaming a
+    * shared >L3-sized array, reported in GB/s. The ALU probe above runs
+    * entirely in registers, so it is blind to the host's dominant noise
+    * mode — shared-VM memory-bandwidth contention (three rounds of
+    * evidence: bare-thread code scaling drops to ~0.5 in windows where the
+    * ALU chain still reads ~0.93, and the round-4 driver stamp regressed
+    * 15% between STABLE ALU brackets). Bracketing the timed phases with
+    * this probe makes bandwidth-contended windows visible in the stamp
+    * itself. Threads start at staggered offsets so each streams a distinct
+    * region at any instant (measuring DRAM bandwidth, not L3 sharing).
+    */
+  private lazy val membwArr: Array[Long] =
+    Array.tabulate(1 << 24)(_.toLong) // 128 MB, far beyond any L3 here
+
+  @volatile private var membwSink: Long = 0L
+
+  private def membwGbps(threads: Int, passes: Int = 3): Double = {
+    val arr = membwArr
+    val n = arr.length
+    val t0 = System.nanoTime()
+    val ts = (0 until threads).map(t => new Thread(() => {
+      val start = (n.toLong * t / threads).toInt
+      var s = 0L
+      var p = 0
+      while (p < passes) {
+        var i = start
+        while (i < n) { s += arr(i); i += 1 }
+        i = 0
+        while (i < start) { s += arr(i); i += 1 }
+        p += 1
+      }
+      membwSink += s // data dependence: the sum cannot be dead-code'd
+    }))
+    ts.foreach(_.start()); ts.foreach(_.join())
+    threads.toLong * passes * n * 8L / ((System.nanoTime() - t0) / 1e9) / 1e9
+  }
+
   /** Raw scorer scaling WITHOUT Spark: N threads looping the fused scorer
     * over in-memory docs. This is the CODE's thread-scaling ceiling —
     * anything the Spark job loses below this is framework overhead;
@@ -127,6 +164,42 @@ object Bench {
     graft.operators.QualityFilter.run(s.read.parquet(path))
       .select("url", "keep", "fail_reasons", "scrubbed_text", "lang_pred", "ppl")
 
+  /** Corpus-growth arm (round-5): evidence for the 10^12-doc design claim
+    * that throughput stays flat and driver state stays O(1) as the corpus
+    * grows — the in-sandbox proxy BASELINE.md names ("increasing sizes").
+    * `SPARK_GRAFT_BENCH_GROWTH=4` runs the scaling job once more on a
+    * corpus 4x the standard one (24M docs), reporting docs/s and the
+    * driver's PEAK heap across the run. A growing-with-corpus driver heap
+    * would betray driver-side state accumulation (collects, oversized plan
+    * trees); flat docs/s + flat heap is the design working.
+    */
+  private def growthArm(sfDir: String, factor: Int,
+                        baseDocs: Long): String = {
+    val rep = replication * factor
+    val path = s"/tmp/graft_bench_corpus_r$rep"
+    if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+      val s = session(32)
+      graft.sources.Pages.loadReplicated(s, sfDir, rep)
+        .write.mode("overwrite").parquet(path)
+      s.stop()
+    }
+    val s = session(32)
+    force(scalingJob(s, path)) // warm
+    // reset heap-pool peaks so the reading covers exactly the timed run
+    import scala.jdk.CollectionConverters._
+    val heapPools = java.lang.management.ManagementFactory
+      .getMemoryPoolMXBeans.asScala
+      .filter(_.getType == java.lang.management.MemoryType.HEAP)
+    heapPools.foreach(_.resetPeakUsage())
+    val t = time { force(scalingJob(s, path)) }
+    val peakHeapMb = heapPools.map(_.getPeakUsage.getUsed).sum / (1 << 20)
+    s.stop()
+    val docs = baseDocs * rep
+    s""""growth":{"factor":$factor,"docs":$docs,""" +
+      s""""sec":${f"$t%.4f"},"docs_per_sec":${f"${docs / t}%.1f"},""" +
+      s""""driver_peak_heap_mb":$peakHeapMb},"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -143,7 +216,9 @@ object Bench {
     val docCount = baseDocs * replication
     // one warm-up of the flagship to exclude JVM/codegen first-run cost
     force(SparkEntry.queries("pipeline_full")(s32, sfDir))
+    membwGbps(32, passes = 1) // touch pages + JIT the probe loop, untimed
     val headlineGopsBefore = gops(32, 100000000L)
+    val headlineMembwBefore = membwGbps(32)
     val bestByQuery = scala.collection.mutable.Map.empty[String, Double]
       .withDefaultValue(Double.MaxValue)
     def runQuery(name: String): Unit = {
@@ -155,6 +230,7 @@ object Bench {
     }
     (1 to 3).foreach(_ => headline.foreach(runQuery))
     val headlineGopsAfter = gops(32, 100000000L)
+    val headlineMembwAfter = membwGbps(32)
     val results = headline.map(name => name -> bestByQuery(name))
     val rawTexts = s32.read.parquet(s"$sfDir/documents.parquet")
       .select("text").collect().map(_.getString(0))
@@ -183,9 +259,18 @@ object Bench {
     // as the pipeline ratios, not once at the end.
     oneRun(32, warm = true); oneRun(8, warm = true)
     var probes = List.empty[Double]
+    var membwRatios = List.empty[Double]
+    var membw32Windows = List.empty[Double]
     def probeCeiling(): Unit = {
       val g8 = gops(8, 100000000L); val g32 = gops(32, 100000000L)
       probes = (g32 / g8) / 4.0 :: probes
+      // bandwidth in the SAME window: the absolute 32-thread GB/s reading
+      // attributes a slow window to bandwidth contention (ALU-stable but
+      // membw-depressed = a neighbor is saturating the memory bus), and
+      // the 8->32 ratio is the job's bandwidth-scaling ceiling there
+      val bw8 = membwGbps(8); val bw32 = membwGbps(32)
+      membwRatios = (bw32 / bw8) / 4.0 :: membwRatios
+      membw32Windows = bw32 :: membw32Windows
     }
     // one-sided outlier rejection: a run >2.5x slower than the best seen
     // for its arm was hit by a neighbor burst (observed 10x swings) —
@@ -263,8 +348,13 @@ object Bench {
     val docsPerSec32 = docCount / pipelineSec32
     val docsPerSec8 = docCount / pipelineSec8
 
+    val growthJson = sys.env.get("SPARK_GRAFT_BENCH_GROWTH")
+      .map(g => growthArm(sfDir, g.toInt, baseDocs)).getOrElse("")
+
     val cpuEff = probes.sorted.apply(probes.length / 2)
+    val membwEff = membwRatios.sorted.apply(membwRatios.length / 2)
     val (g8, g32) = (gops(8), gops(32))
+    val (bw8f, bw32f) = (membwGbps(8), membwGbps(32))
     val (raw8, raw32, rawEff) = rawCodeScaling(rawTexts)
 
     val qs = results.map { case (k, v) => s""""$k":${f"$v%.4f"}""" }
@@ -274,6 +364,7 @@ object Bench {
       s"""{"metric":"total","value":${f"$total%.4f"},"unit":"sec","queries":$qs,""" +
       s""""sf":"$sfDir","docs":$docCount,""" +
       s""""docs_per_sec":${f"$docsPerSec32%.1f"},""" +
+      growthJson +
       s""""scaling":{"local8_docs_per_sec":${f"$docsPerSec8%.1f"},""" +
       s""""local32_docs_per_sec":${f"$docsPerSec32%.1f"},""" +
       s""""local8_sec":${f"$pipelineSec8%.4f"},"local32_sec":${f"$pipelineSec32%.4f"},""" +
@@ -286,6 +377,12 @@ object Bench {
       s""""pair_ratios_8_32":[${effs.map(e => f"$e%.3f").mkString(",")}],""" +
       s""""headline_gops_before":${f"$headlineGopsBefore%.2f"},""" +
       s""""headline_gops_after":${f"$headlineGopsAfter%.2f"},""" +
+      s""""membw_gbps_before":${f"$headlineMembwBefore%.2f"},""" +
+      s""""membw_gbps_after":${f"$headlineMembwAfter%.2f"},""" +
+      s""""membw_gbps_8":${f"$bw8f%.2f"},"membw_gbps_32":${f"$bw32f%.2f"},""" +
+      s""""membw_8_32":${f"$membwEff%.3f"},""" +
+      s""""membw_32_windows":[${membw32Windows.reverse.map(b => f"$b%.2f").mkString(",")}],""" +
+      s""""efficiency_membw_normalized":${f"${efficiency832 / membwEff}%.3f"},""" +
       s""""raw_code_docs_per_sec_8":${f"$raw8%.1f"},""" +
       s""""raw_code_docs_per_sec_32":${f"$raw32%.1f"},""" +
       s""""raw_code_efficiency":${f"$rawEff%.3f"},""" +

@@ -171,23 +171,23 @@ object Main {
           s"unknown convergence mode '$other' (expected strict|besteffort)")
       } else true
       val spark = session("graft-dedup")
-      // scoped registry: intermediates persist for the duration of this
-      // build+write and release on exit, without touching caches of any
-      // concurrent dedup job sharing the session
-      graft.operators.Dedup.withCacheScope {
-        val docs = spark.read.parquet(args(1))
-        val pairs = graft.operators.Dedup.minhashLshDedup(
-          docs, keyCol, textCol, jaccardThreshold = threshold)
-          .select("key_a", "key_b")
-        val decisions = graft.operators.Dedup.dedupDecisions(docs, pairs,
-          keyCol, maxIter = maxIter, strict = strict, algorithm = algo)
-        decisions.write.mode("overwrite").parquet(args(2))
-      }
+      // checkpoint-resumable DAG: each stage (reps/links/cand/pairs/
+      // decisions) commits as one atomic parquet job in <outDir>_stages;
+      // a killed run restarts from the first uncommitted stage instead of
+      // recomputing the whole pipeline (the quality filter's bucket-resume
+      // protocol applied to the dedup job)
+      val docs = spark.read.parquet(args(1))
+      val (decisions, report) = graft.operators.Dedup.dedupResumable(
+        docs, keyCol, textCol, stageDir = s"${args(2)}_stages",
+        jaccardThreshold = threshold, maxIter = maxIter, strict = strict,
+        algorithm = algo)
+      decisions.write.mode("overwrite").parquet(args(2))
       val out = spark.read.parquet(args(2))
       val total = out.count()
       val dropped = out.filter(!col("keep")).count()
       println(s"dedup complete: $total docs, $dropped duplicates dropped " +
-        s"(${total - dropped} kept) at jaccard >= $threshold")
+        s"(${total - dropped} kept) at jaccard >= $threshold; stages run=" +
+        s"[${report.ran.mkString(",")}] resumed=[${report.skipped.mkString(",")}]")
       spark.stop()
 
     case Some("eval") =>

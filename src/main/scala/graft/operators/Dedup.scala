@@ -408,6 +408,99 @@ object Dedup {
     verified.unionByName(links.withColumn("jaccard", lit(1.0)))
   }
 
+  /** What a resumable dedup run did: which stages computed this run and
+    * which were restored from committed checkpoints.
+    */
+  final case class ResumeReport(ran: Seq[String], skipped: Seq[String])
+
+  /** Checkpoint-resumable dedup DAG — the long multi-stage job a
+    * preemption actually kills at 100 TB. The quality filter already has
+    * bucket-level resume (operators/Resume); this is the same commit
+    * protocol applied to the dedup pipeline's stage boundaries:
+    *
+    *   reps -> links -> cand -> pairs -> decisions
+    *
+    * Each stage materializes as one atomic parquet job whose `_SUCCESS`
+    * marker is the commit record (production shape: an Iceberg snapshot
+    * per stage); a restarted run reads every committed stage from storage
+    * and recomputes only from the first uncommitted one. Every stage is a
+    * deterministic function of the input (md5 fingerprints, xxhash band
+    * buckets, canonical (min,max) pair order), so resuming from any
+    * committed prefix yields byte-identical decisions — DedupSpec proves
+    * it with a kill between stages.
+    *
+    * `stageDir` is keyed to ONE input corpus: rerunning against different
+    * input requires a fresh stage dir (delete or change the path).
+    * `failAfter` injects a crash after N stage commits (for tests).
+    */
+  def dedupResumable(docs: DataFrame, keyCol: String, textCol: String,
+                     stageDir: String,
+                     jaccardThreshold: Double = 0.8,
+                     numHashes: Int = 64, bands: Int = 16,
+                     shingleN: Int = 3, maxBucketSize: Int = 1000,
+                     maxIter: Int = 20, strict: Boolean = true,
+                     algorithm: String = "hashmin",
+                     failAfter: Int = Int.MaxValue)
+      : (DataFrame, ResumeReport) = {
+    val spark = docs.sparkSession
+    val ran = scala.collection.mutable.Buffer.empty[String]
+    val skipped = scala.collection.mutable.Buffer.empty[String]
+    def stage(name: String)(compute: => DataFrame): DataFrame = {
+      val path = s"$stageDir/$name"
+      if (new java.io.File(s"$path/_SUCCESS").exists()) {
+        skipped += name
+      } else {
+        if (ran.size >= failAfter)
+          throw new RuntimeException(s"injected failure before stage $name")
+        compute.write.mode("overwrite").parquet(path)
+        ran += name
+      }
+      // committed stages are read back from storage, so no stage's plan
+      // carries lineage into an earlier one — a restart never recomputes
+      // upstream work through a downstream plan
+      spark.read.parquet(path)
+    }
+
+    val reps = stage("reps") { collapseExact(docs, keyCol, textCol)._1 }
+    val links = stage("links") {
+      // recompute only the narrow per-row fingerprint (no shuffle) and
+      // join it to the committed representatives
+      docs.select(col(keyCol),
+          md5(coalesce(col(textCol), lit(""))).as("fingerprint"))
+        .join(reps.select(col("fingerprint"), col(keyCol).as("__rep")),
+          Seq("fingerprint"))
+        .filter(col(keyCol) =!= col("__rep"))
+        .select(col("__rep").as("key_a"), col(keyCol).as("key_b"))
+    }
+    val cand = stage("cand") {
+      minhashCandidates(reps, keyCol, textCol, numHashes, bands, shingleN,
+        maxBucketSize, withEstimates = false)
+    }
+    val pairs = stage("pairs") {
+      val candKeys = cand
+        .select(explode(array(col("key_a"), col("key_b"))).as(keyCol))
+        .distinct()
+      val shs = reps.join(candKeys, Seq(keyCol), "left_semi")
+        .select(col(keyCol), shingles(col(textCol), shingleN).as("shs"))
+      val inter = size(array_intersect(col("sa"), col("sb"))).cast(DoubleType)
+      cand
+        .join(shs.select(col(keyCol).as("key_a"), col("shs").as("sa")),
+          Seq("key_a"))
+        .join(shs.select(col(keyCol).as("key_b"), col("shs").as("sb")),
+          Seq("key_b"))
+        .withColumn("jaccard", inter /
+          (size(col("sa")) + size(col("sb")) - inter).cast(DoubleType))
+        .filter(col("jaccard") >= jaccardThreshold)
+        .select(col("key_a"), col("key_b"), col("jaccard"))
+        .unionByName(links.withColumn("jaccard", lit(1.0)))
+    }
+    val decisions = stage("decisions") {
+      dedupDecisions(docs, pairs.select("key_a", "key_b"), keyCol,
+        maxIter = maxIter, strict = strict, algorithm = algorithm)
+    }
+    (decisions, ResumeReport(ran.toSeq, skipped.toSeq))
+  }
+
   /** 64-bit SimHash over word unigrams. Per-row JVM loop (one pass over
     * the words, 64 counters) — the equivalent Catalyst expression tree
     * (64 x aggregate-over-words) is quadratic in plan size and falls out

@@ -220,7 +220,7 @@ object Multimodal {
         val aviFrames = avi.map(m => frameSample(m, bytes, stride = 4))
           .getOrElse(Array.empty[Array[Byte]])
         val firstDecoded = avi.flatMap(m =>
-          aviFrames.headOption.flatMap(decodeDibFrame(m, _)))
+          aviFrames.headOption.flatMap(decodeAviFrame(m, _)))
         val features = img.orElse(firstDecoded)
           .map(imageFeatures(_).histogram)
           .getOrElse(decodeStub(bytes))
@@ -229,10 +229,10 @@ object Multimodal {
           .getOrElse(resizeStub(features))
         val frames = avi match {
           // one Int per sampled frame: REAL pixel decode (integer mean
-          // luminance) for uncompressed-DIB streams, first payload byte
-          // for compressed streams the JDK cannot decode
+          // luminance) for uncompressed-DIB and Motion-JPEG streams,
+          // first payload byte for codecs the JDK cannot decode
           case Some(m) => aviFrames.map { p =>
-            decodeDibFrame(m, p).map(frameMeanLuma).getOrElse(
+            decodeAviFrame(m, p).map(frameMeanLuma).getOrElse(
               if (p.nonEmpty) p(0) & 0xff else -1)
           }.toSeq
           case None => frameSampleStub(bytes).toSeq
@@ -333,8 +333,10 @@ object Multimodal {
     * `idx1` index (per-frame byte ranges inside the `movi` list) are pure
     * byte arithmetic — key-frame SAMPLING needs no codec, it is index
     * lookups + array slices. Uncompressed-DIB frames additionally decode
-    * to pixels through [[decodeDibFrame]]; compressed frames would need
-    * a codec the JDK does not ship and degrade to byte-level features.
+    * to pixels through [[decodeDibFrame]] and Motion-JPEG frames through
+    * the JDK's own JPEG decoder ([[decodeAviFrame]]); other codecs would
+    * need a decoder the JDK does not ship and degrade to byte-level
+    * features.
     *
     * `frames`/`frameSizes` are absolute (offset, size) pairs of the video
     * chunk payloads ('##dc'/'##db' entries; idx1 offsets are relative to
@@ -452,6 +454,27 @@ object Multimodal {
     }
     Some(img)
   }
+
+  /** fourcc 'MJPG' as the little-endian u32 a Motion-JPEG stream carries
+    * in biCompression.
+    */
+  val FourccMjpg: Long =
+    ('M' & 0xffL) | (('J' & 0xffL) << 8) | (('P' & 0xffL) << 16) |
+      (('G' & 0xffL) << 24)
+
+  /** REAL decode of one sampled AVI frame payload: uncompressed DIB via
+    * the pure byte walk ([[decodeDibFrame]]), Motion-JPEG via the bounded
+    * ImageIO path — each MJPG '##dc' chunk is a STANDALONE JPEG, and the
+    * JDK ships a JPEG decoder (the image path uses it), so the
+    * "compressed video needs an external codec" boundary genuinely starts
+    * past MJPEG, not at it. Any other codec (cinepak, h264, ...) returns
+    * None and callers keep the honest byte-level fallback. The MJPG path
+    * inherits [[decodeBounded]]'s header-first decompression-bomb guard.
+    */
+  def decodeAviFrame(m: AviMeta, payload: Array[Byte])
+      : Option[java.awt.image.BufferedImage] =
+    if (m.compression == FourccMjpg) decodeBounded(payload)
+    else decodeDibFrame(m, payload)
 
   /** Integer mean luminance of a decoded frame: sum(r+g+b) over all
     * pixels, integer-divided by 3*pixels — exact integer arithmetic, so a
@@ -644,18 +667,115 @@ object Multimodal {
     out
   }
 
+  /** Deterministic Motion-JPEG AVI fixture: same RIFF skeleton as
+    * [[synthAviRgb]] but strf.biCompression = 'MJPG' and each '00dc'
+    * chunk is a standalone JPEG (ImageIO-encoded) of the same per-frame
+    * pixel formula. JPEG is lossy, so decoded statistics are NOT
+    * SQL-re-derivable from the formula — tests golden-pin them instead
+    * (the JDK decoder is deterministic for fixed bytes).
+    */
+  def synthAviMjpeg(width: Int, height: Int, microSecPerFrame: Int,
+                    nFrames: Int): Array[Byte] = {
+    val jpegs: Array[Array[Byte]] = Array.tabulate(nFrames) { f =>
+      val img = new java.awt.image.BufferedImage(width, height,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val r = (f * 17 + x * 5 + y * 29) % 256
+          val g = (f * 59 + x * 11 + y * 3) % 256
+          val b = (f * 131 + x * 7 + y * 13) % 256
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val avihData = 56; val strhData = 56; val strfData = 40
+    val strl = 4 + (8 + strhData) + (8 + strfData)
+    val hdrl = 4 + (8 + avihData) + (8 + strl)
+    // chunks are word-aligned: odd-sized JPEG payloads carry one pad byte
+    val chunkSpans = jpegs.map(j => 8 + j.length + (j.length & 1))
+    val moviData = 4 + chunkSpans.sum
+    val idx1Data = nFrames * 16
+    val total = 12 + (8 + hdrl) + (8 + moviData) + (8 + idx1Data)
+    val out = new Array[Byte](total)
+    @inline def putTag(o: Int, s: String): Unit = {
+      var i = 0; while (i < 4) { out(o + i) = s.charAt(i).toByte; i += 1 }
+    }
+    @inline def put16(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+    }
+    @inline def put32(o: Int, v: Long): Unit = {
+      var i = 0
+      while (i < 4) { out(o + i) = ((v >> (8 * i)) & 0xff).toByte; i += 1 }
+    }
+    putTag(0, "RIFF"); put32(4, total - 8L); putTag(8, "AVI ")
+    var p = 12
+    putTag(p, "LIST"); put32(p + 4, hdrl); putTag(p + 8, "hdrl")
+    val av = p + 12
+    putTag(av, "avih"); put32(av + 4, avihData)
+    put32(av + 8, microSecPerFrame)
+    put32(av + 24, nFrames)
+    put32(av + 32, 1) // dwStreams
+    put32(av + 40, width); put32(av + 44, height)
+    val sl = av + 8 + avihData
+    putTag(sl, "LIST"); put32(sl + 4, strl); putTag(sl + 8, "strl")
+    val sh = sl + 12
+    putTag(sh, "strh"); put32(sh + 4, strhData)
+    putTag(sh + 8, "vids"); putTag(sh + 12, "MJPG")
+    put32(sh + 28, microSecPerFrame) // dwScale
+    put32(sh + 32, 1000000L)         // dwRate
+    put32(sh + 40, nFrames)          // dwLength
+    val sf = sh + 8 + strhData
+    putTag(sf, "strf"); put32(sf + 4, strfData)
+    put32(sf + 8, 40L)               // biSize
+    put32(sf + 12, width); put32(sf + 16, height)
+    put16(sf + 20, 1)                // biPlanes
+    put16(sf + 22, 24)               // biBitCount
+    put32(sf + 24, FourccMjpg)       // biCompression = 'MJPG'
+    p += 8 + hdrl
+    putTag(p, "LIST"); put32(p + 4, moviData); putTag(p + 8, "movi")
+    var fp = p + 12
+    val relOffsets = new Array[Long](nFrames)
+    var f = 0
+    while (f < nFrames) {
+      relOffsets(f) = fp - (p + 8) // relative to the 'movi' fourcc
+      putTag(fp, "00dc"); put32(fp + 4, jpegs(f).length)
+      System.arraycopy(jpegs(f), 0, out, fp + 8, jpegs(f).length)
+      fp += chunkSpans(f)
+      f += 1
+    }
+    p += 8 + moviData
+    putTag(p, "idx1"); put32(p + 4, idx1Data)
+    f = 0
+    while (f < nFrames) {
+      val e = p + 8 + f * 16
+      putTag(e, "00dc"); put32(e + 4, 0x10L) // AVIIF_KEYFRAME
+      put32(e + 8, relOffsets(f))
+      put32(e + 12, jpegs(f).length)
+      f += 1
+    }
+    out
+  }
+
   /** Parsed AVI metadata + decoded-frame statistics over a binary column:
     * (keyCol, width, height, total_frames, duration_ms, frame_means)
     * where frame_means holds the integer mean luminance of every
-    * `stride`-th frame decoded via [[decodeDibFrame]] (-1 for frames the
-    * header marks undecodable). Non-AVI rows yield NULL metadata.
+    * `stride`-th frame decoded via [[decodeAviFrame]] (DIB byte walk or
+    * MJPEG ImageIO; -1 for frames the header marks undecodable). Non-AVI
+    * rows yield NULL metadata.
     */
   def videoMeta(df: DataFrame, keyCol: String, binCol: String,
                 stride: Int = 4): DataFrame = {
     val parse = udf { b: Array[Byte] =>
       parseAviMeta(b).map { m =>
         val means = frameSample(m, b, stride)
-          .map(p => decodeDibFrame(m, p).map(frameMeanLuma).getOrElse(-1))
+          .map(p => decodeAviFrame(m, p).map(frameMeanLuma).getOrElse(-1))
         (m.width, m.height, m.totalFrames, m.durationMs, means.toSeq)
       }
     }

@@ -169,6 +169,44 @@ class DedupSpec extends AnyFunSuite {
     assert(!got.keys.exists { case (x, y) => x == 3L || y == 3L })
   }
 
+  test("resumable dedup DAG: kill between stages, restart skips committed " +
+    "stages and yields identical decisions") {
+    val realDocs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val stages = java.nio.file.Files.createTempDirectory("ddstages").toString
+    // crash after 2 stage commits (reps, links committed; cand+ dies)
+    val killed = intercept[RuntimeException] {
+      Dedup.dedupResumable(realDocs, "doc_id", "text", stages,
+        jaccardThreshold = 0.5, failAfter = 2)
+    }
+    assert(killed.getMessage.contains("injected failure before stage cand"))
+    assert(new java.io.File(s"$stages/reps/_SUCCESS").exists())
+    assert(new java.io.File(s"$stages/links/_SUCCESS").exists())
+    assert(!new java.io.File(s"$stages/cand/_SUCCESS").exists())
+    val repsMtime = new java.io.File(s"$stages/reps/_SUCCESS").lastModified()
+    val linksMtime = new java.io.File(s"$stages/links/_SUCCESS").lastModified()
+    // restart: completed stages restored from storage, not recomputed
+    val (resumed, report) = Dedup.dedupResumable(realDocs, "doc_id", "text",
+      stages, jaccardThreshold = 0.5)
+    assert(report.skipped == Seq("reps", "links"))
+    assert(report.ran == Seq("cand", "pairs", "decisions"))
+    assert(new java.io.File(s"$stages/reps/_SUCCESS").lastModified() == repsMtime)
+    assert(new java.io.File(s"$stages/links/_SUCCESS").lastModified() == linksMtime)
+    // identical decisions to the single-shot (non-resumable) pipeline
+    val oneShot = Dedup.dedupDecisions(realDocs,
+      Dedup.minhashLshDedup(realDocs, "doc_id", "text",
+        jaccardThreshold = 0.5).select("key_a", "key_b"), "doc_id")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "cluster_id", "keep")
+        .collect().map(_.toString).sorted.toSeq
+    assert(canon(resumed) == canon(oneShot))
+    assert(resumed.filter(!col("keep")).count() > 0, "fixture has dup clusters")
+    // a fully-committed DAG restarts as all-skip (pure read)
+    val (_, again) = Dedup.dedupResumable(realDocs, "doc_id", "text", stages,
+      jaccardThreshold = 0.5)
+    assert(again.ran.isEmpty && again.skipped.size == 5)
+  }
+
   test("connected components: chain convergence, singletons, min-key labels") {
     // chain 1-2-3-4 (diameter 3 — forces multiple hash-min rounds),
     // a separate pair {10,11}, and isolated docs 5/6

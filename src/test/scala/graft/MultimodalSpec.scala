@@ -210,6 +210,51 @@ class MultimodalSpec extends AnyFunSuite {
     assert(vm("x").isNullAt(1))
   }
 
+  test("AVI Motion-JPEG decode: MJPG '00dc' chunks are standalone JPEGs " +
+    "decoded through the JDK's own JPEG path (no external codec)") {
+    val avi = Multimodal.synthAviMjpeg(16, 12, 40000, 6)
+    val m = Multimodal.parseAviMeta(avi).get
+    assert(m.width == 16 && m.height == 12 && m.totalFrames == 6)
+    assert(m.compression == Multimodal.FourccMjpg && m.bitCount == 24)
+    val frames = Multimodal.frameSample(m, avi, stride = 1)
+    assert(frames.length == 6)
+    // each sampled chunk IS a standalone JPEG
+    assert(Multimodal.sniffFormat(frames(0)) == "jpeg")
+    val means = frames.map(p => Multimodal.decodeAviFrame(m, p)
+      .map(Multimodal.frameMeanLuma).getOrElse(-1)).toSeq
+    assert(means.forall(_ >= 0), s"frame failed to decode: $means")
+    // GOLDEN pin: JPEG decode is lossy, so the values are not
+    // SQL-re-derivable from the pixel formula — but the JDK codec is
+    // deterministic for fixed bytes. Regenerate only with an audited diff.
+    assert(means == Seq(110, 133, 132, 123, 119, 130), s"golden drift: $means")
+    // mean luminance lives in JPEG's DC coefficients — within quantization
+    // tolerance of the exact source-formula mean
+    val exact = (0 until 6).map(f =>
+      (for (y <- 0 until 12; x <- 0 until 16) yield
+        (f * 17 + x * 5 + y * 29) % 256 + (f * 59 + x * 11 + y * 3) % 256 +
+          (f * 131 + x * 7 + y * 13) % 256).sum / (3 * 16 * 12))
+    means.zip(exact).foreach { case (got, e) =>
+      assert(math.abs(got - e) <= 6, s"decoded mean $got vs source $e") }
+    // the DIB path must NOT accept MJPG payloads (wrong layout)
+    assert(Multimodal.decodeDibFrame(m, frames(0)).isEmpty)
+    // videoMeta end-to-end (default stride 4 -> frames 0 and 4)
+    val vm = Multimodal.videoMeta(
+      Seq(("v", avi)).toDF("key", "blob"), "key", "blob").head()
+    assert(vm.getAs[Int]("width") == 16)
+    assert(vm.getAs[scala.collection.Seq[Int]]("frame_means") ==
+      Seq(means(0), means(4)))
+    // withMediaFeatures: a REAL pixel histogram from the decoded frame,
+    // not the byte-level fallback
+    val r = Multimodal.withMediaFeatures(
+      Seq(("v", avi)).toDF("key", "blob"), "blob").head()
+    assert(r.getAs[String]("media_format") == "riff")
+    assert(r.getAs[Int]("media_width") == 16)
+    val hist = r.getAs[scala.collection.Seq[Float]]("media_features")
+    assert(math.abs(hist.sum - 1f) < 1e-5)
+    assert(r.getAs[scala.collection.Seq[Int]]("media_frames") ==
+      Seq(means(0), means(4)))
+  }
+
   test("RIFF parsers never throw on arbitrary/adversarial bytes (fuzz)") {
     val rnd = new scala.util.Random(20260816L)
     // pure-random buffers

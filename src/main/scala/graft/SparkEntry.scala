@@ -341,6 +341,16 @@ object SparkEntry {
       Dedup.dedupDecisions(docs, pairs, "doc_id")
     }),
 
+    // the stage-checkpointed DAG, driven end-to-end through fresh
+    // checkpoint commits each call — must hash-match the same oracle as
+    // dedup_clusters (deterministic stages => identical decisions)
+    "dedup_resumable" -> ((s, dir) => {
+      val stages = java.nio.file.Files
+        .createTempDirectory("dedup_resumable_stages").toString
+      Dedup.dedupResumable(tp(s, dir, "documents"), "doc_id", "text",
+        stages, jaccardThreshold = 0.5, maxBucketSize = 600)._1
+    }),
+
     // dup graph via simhash: links (hamming 0) + ALL representative pairs
     // within hamming<=3 — pigeonhole candidates are exhaustive, so the
     // oracle's brute-force FNV/simhash in SQL reproduces the exact set
@@ -500,6 +510,26 @@ object SparkEntry {
        |            ($docWords)[i+1] || ' ' ||
        |            ($docWords)[i+2]))
        |END""".stripMargin
+
+  /** Transitive closure of the minhash dup graph in recursive SQL: the
+    * shared oracle of dedup_clusters AND dedup_resumable — the one-shot
+    * pipeline and the stage-checkpointed DAG must land on identical
+    * decisions.
+    */
+  private lazy val dedupClustersSql: String =
+    s"""WITH RECURSIVE $minhashGraphCtes,
+       |edges0 AS (
+       |  SELECT key_a, key_b FROM pairs
+       |  WHERE inter::DOUBLE / (na + nb - inter)::DOUBLE >= 0.5
+       |  UNION ALL SELECT key_a, key_b FROM links),
+       |sym AS (SELECT key_a AS a, key_b AS b FROM edges0
+       |        UNION SELECT key_b, key_a FROM edges0),
+       |cc AS (SELECT a AS node, a AS lbl FROM sym
+       |       UNION SELECT e.b, cc.lbl FROM cc JOIN sym e ON e.a = cc.node),
+       |m AS (SELECT node, min(lbl) AS lbl FROM cc GROUP BY node)
+       |SELECT doc_id, coalesce(m.lbl, doc_id) AS cluster_id,
+       |  coalesce(m.lbl, doc_id) = doc_id AS keep
+       |FROM documents LEFT JOIN m ON m.node = doc_id""".stripMargin
 
   /** Shared CTE chain building the minhash dup graph (exact-dup links +
     * inverted-index pair candidates with exact jaccard terms) — used by
@@ -866,20 +896,11 @@ object SparkEntry {
     // transitive closure of the dup graph in recursive SQL (tiny oracle
     // corpus): min reachable key per node = the cluster id hash-min
     // label propagation converges to
-    "dedup_clusters" ->
-      s"""WITH RECURSIVE $minhashGraphCtes,
-         |edges0 AS (
-         |  SELECT key_a, key_b FROM pairs
-         |  WHERE inter::DOUBLE / (na + nb - inter)::DOUBLE >= 0.5
-         |  UNION ALL SELECT key_a, key_b FROM links),
-         |sym AS (SELECT key_a AS a, key_b AS b FROM edges0
-         |        UNION SELECT key_b, key_a FROM edges0),
-         |cc AS (SELECT a AS node, a AS lbl FROM sym
-         |       UNION SELECT e.b, cc.lbl FROM cc JOIN sym e ON e.a = cc.node),
-         |m AS (SELECT node, min(lbl) AS lbl FROM cc GROUP BY node)
-         |SELECT doc_id, coalesce(m.lbl, doc_id) AS cluster_id,
-         |  coalesce(m.lbl, doc_id) = doc_id AS keep
-         |FROM documents LEFT JOIN m ON m.node = doc_id""".stripMargin,
+    "dedup_clusters" -> dedupClustersSql,
+
+    // the stage-checkpointed DAG must land on the SAME decisions as the
+    // one-shot pipeline — identical oracle, separately executed path
+    "dedup_resumable" -> dedupClustersSql,
 
     // brute-force simhash in SQL: FNV-1a 64 over each word's UTF-16 units
     // (HUGEINT arithmetic mod 2^64 reproduces JVM long wraparound exactly;

@@ -17,6 +17,8 @@ import graft.sources.{MetricsStore, SampleGenerator}
   *                      [buckets] [configYaml]
   *   graft.Main dedup   <docsParquet> <outDir> [jaccard] [keyCol] [textCol]
   *                      [maxIter] [hashmin|star] [strict|besteffort]
+  *   graft.Main pipeline <pagesDir> <outDir> <metricsDir> <runId>
+  *                      [buckets] [jaccard] [configYaml]
   *   graft.Main eval    <predParquet> <refParquet> [keyCol] [labelCol]
   *
   * `run` executes every check in the config against the parquet tables in
@@ -190,6 +192,31 @@ object Main {
         s"[${report.ran.mkString(",")}] resumed=[${report.skipped.mkString(",")}]")
       spark.stop()
 
+    case Some("pipeline") =>
+      // the full corpus job: bucketed quality filter -> stage-resumable
+      // near-dup dedup of the keepers -> final corpus (quality-keep AND
+      // dedup-keep). Restart-safe at every unit: committed buckets,
+      // committed dedup stages and a committed corpus are never redone.
+      require(args.length >= 5,
+        "usage: graft.Main pipeline <pagesDir> <outDir> <metricsDir> " +
+          "<runId> [buckets] [jaccard] [configYaml]")
+      val Array(_, pagesDir, outDir, metricsDir, runId) = args.take(5)
+      val buckets = if (args.length > 5) args(5).toInt else 64
+      val jaccard = if (args.length > 6) args(6).toDouble else 0.8
+      val rules =
+        if (args.length > 7) {
+          val cfg = loadConfig(args(7))
+          val fromCfg = cfg.checks.map(graft.operators.RowRule.fromCheck)
+          require(fromCfg.nonEmpty, "config has no checks")
+          fromCfg
+        } else graft.operators.QualityFilter.defaultRules
+      val spark = session(s"graft-pipeline-$runId")
+      val report = graft.operators.Pipeline.runFull(spark,
+        spark.read.parquet(pagesDir), outDir, metricsDir, runId,
+        buckets = buckets, jaccardThreshold = jaccard, rules = rules)
+      println(report.json)
+      spark.stop()
+
     case Some("eval") =>
       // acceptance-metric measurement from spark-submit: keep/drop F1 of a
       // predicted-verdicts parquet against a reference-labels parquet,
@@ -215,7 +242,7 @@ object Main {
       // must error as such, not start a filter job against wrong paths.
       if (first != "filter" && !new java.io.File(first).isDirectory)
         sys.error(s"unknown subcommand '$first' " +
-          "(expected run|compile|sample|filter|dedup|eval, or an existing " +
+          "(expected run|compile|sample|filter|pipeline|dedup|eval, or an existing " +
           "pagesDir for the legacy positional filter form)")
       val a = if (first == "filter") args.drop(1) else args
       require(a.length >= 4,
@@ -242,6 +269,6 @@ object Main {
       spark.stop()
 
     case None =>
-      sys.error("usage: graft.Main run|compile|sample|filter|dedup|eval ...")
+      sys.error("usage: graft.Main run|compile|sample|filter|pipeline|dedup|eval ...")
   }
 }

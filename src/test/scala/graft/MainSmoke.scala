@@ -126,8 +126,25 @@ object MainSmoke {
       println(s"EVAL subcommand OK: $line")
     }
 
+    // pipeline: filter -> dedup -> corpus end-to-end from the CLI
+    val pipeOut = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(pipeOut, true)) {
+      Main.main(Array("pipeline", s"$tmp/pages", s"$tmp/pipe",
+        s"$tmp/pipemetrics", "smokepipe", "4", "0.5"))
+    }
+    val pline = pipeOut.toString.linesIterator
+      .find(_.startsWith("{\"pages\":")).getOrElse(
+        sys.error(s"pipeline printed no JSON:\n${pipeOut.toString.take(500)}"))
+    assert(pline.contains("\"pages\":500") &&
+      pline.contains("\"buckets_run\":4") &&
+      pline.contains("\"corpus_recomputed\":true"), s"pipeline line: $pline")
+    println(s"PIPELINE subcommand OK: $pline")
+
     val check = org.apache.spark.sql.SparkSession.builder()
       .master("local[4]").config("spark.ui.enabled", "false").getOrCreate()
+    val pc = check.read.parquet(s"$tmp/pipe/corpus")
+    assert(pc.count() > 0 && pc.count() < 500)
+    assert(pc.filter("NOT keep").count() == 0)
     val dd = check.read.parquet(s"$tmp/dedup")
     assert(dd.count() == 500)
     assert(dd.filter("NOT keep").count() > 0, "expected seeded dup clusters")

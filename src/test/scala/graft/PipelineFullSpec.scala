@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Pipeline}
+
+/** End-to-end corpus job (operators/Pipeline): filter -> dedup -> corpus,
+  * restart-safe at every commit unit.
+  */
+class PipelineFullSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val dir = "/root/testdata/sf0.001"
+  private def tmp(p: String) =
+    java.nio.file.Files.createTempDirectory(p).toString
+
+  test("full pipeline: counts are consistent and the corpus is exactly " +
+    "quality-keep AND dedup-keep") {
+    val pages = graft.sources.Pages.load(spark, dir)
+    val out = tmp("pipefull")
+    val r = Pipeline.runFull(spark, pages, out, s"$out/metrics", "pf1",
+      buckets = 4, jaccardThreshold = 0.5)
+    assert(r.pages == 500)
+    assert(r.bucketsRun == 4 && r.bucketsSkipped == 0)
+    assert(r.dedupStages.ran ==
+      Seq("reps", "links", "cand", "pairs", "decisions"))
+    assert(r.corpusRecomputed)
+    // every dedup drop is a quality keeper, so the counts close exactly
+    assert(r.corpusDocs == r.qualityKept - r.dupDropped)
+    assert(r.corpusDocs > 0 && r.corpusDocs < r.pages)
+    // corpus rows ARE verdict rows (schema + content subset)
+    val corpus = spark.read.parquet(s"$out/corpus")
+    val verdicts = spark.read.parquet(s"$out/verdicts")
+    assert(corpus.columns.sorted.toSeq == verdicts.columns.sorted.toSeq)
+    assert(corpus.filter(!col("keep")).count() == 0)
+
+    // idempotent rerun: nothing recomputed, identical corpus
+    val r2 = Pipeline.runFull(spark, pages, out, s"$out/metrics", "pf1",
+      buckets = 4, jaccardThreshold = 0.5)
+    assert(r2.bucketsRun == 0 && r2.bucketsSkipped == 4)
+    assert(r2.dedupStages.ran.isEmpty && r2.dedupStages.skipped.size == 5)
+    assert(!r2.corpusRecomputed)
+    assert(r2.corpusDocs == r.corpusDocs)
+  }
+
+  test("kill inside the dedup phase: restart completes with a corpus " +
+    "identical to an uninterrupted run") {
+    val pages = graft.sources.Pages.load(spark, dir)
+    val outA = tmp("pipekill")
+    val killed = intercept[RuntimeException] {
+      Pipeline.runFull(spark, pages, outA, s"$outA/metrics", "pfk",
+        buckets = 4, jaccardThreshold = 0.5, failAfterDedupStages = 2)
+    }
+    assert(killed.getMessage.contains("injected failure before stage cand"))
+    // filter phase committed fully before the crash
+    assert(new java.io.File(s"$outA/verdicts/bucket=3/_SUCCESS").exists())
+    assert(new java.io.File(s"$outA/dedup_stages/links/_SUCCESS").exists())
+    assert(!new java.io.File(s"$outA/corpus/_SUCCESS").exists())
+    val resumed = Pipeline.runFull(spark, pages, outA, s"$outA/metrics",
+      "pfk", buckets = 4, jaccardThreshold = 0.5)
+    assert(resumed.bucketsRun == 0 && resumed.bucketsSkipped == 4)
+    assert(resumed.dedupStages.skipped == Seq("reps", "links"))
+    assert(resumed.dedupStages.ran == Seq("cand", "pairs", "decisions"))
+
+    val outB = tmp("pipeclean")
+    val clean = Pipeline.runFull(spark, pages, outB, s"$outB/metrics", "pfc",
+      buckets = 4, jaccardThreshold = 0.5)
+    assert(resumed.corpusDocs == clean.corpusDocs)
+    def canon(path: String) = spark.read.parquet(path)
+      .select("url", "keep", "scrubbed_text")
+      .collect().map(_.toString).sorted.toSeq
+    assert(canon(s"$outA/corpus") == canon(s"$outB/corpus"))
+    // report JSON is one valid machine-readable line
+    assert(resumed.json.startsWith("{\"pages\":") &&
+      resumed.json.contains("\"dedup_stages_resumed\":[\"reps\",\"links\"]"))
+  }
+}

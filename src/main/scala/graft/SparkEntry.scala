@@ -562,7 +562,7 @@ object SparkEntry {
            |r AS (
            |  SELECT url, text, words,
            |    length(coalesce(text,'')) AS dl,
-           |    length(regexp_replace(coalesce(text,''), '[\\p{L}\\p{N}\\s]', '', 'g'))::DOUBLE /
+           |    length(regexp_replace(coalesce(text,''), '[\\p{L}\\p{M}\\p{N}\\s]', '', 'g'))::DOUBLE /
            |      greatest(len(words), 1)::DOUBLE AS swr,
            |    len(list_filter(words, x -> list_contains(
            |      $stopList, lower(x))))::DOUBLE /
@@ -837,7 +837,7 @@ object SparkEntry {
          |  length(text) AS doc_length,
          |  len(words) AS word_count,
          |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS token_count,
-         |  round(length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g'))::DOUBLE /
+         |  round(length(regexp_replace(text, '[\\p{L}\\p{M}\\p{N}\\s]', '', 'g'))::DOUBLE /
          |    greatest(len(words), 1)::DOUBLE, 6) AS symbol_word_ratio,
          |  round(len(list_filter(words, x -> list_contains(
          |    $stopList, lower(x))))::DOUBLE /
@@ -850,7 +850,7 @@ object SparkEntry {
          |    least((len(list_filter(words, x -> list_contains(
          |      $stopList, lower(x))))::DOUBLE /
          |      greatest(len(words), 1)::DOUBLE) / 0.1, 1.0) * 0.3 +
-         |    greatest(1.0 - (length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g'))::DOUBLE /
+         |    greatest(1.0 - (length(regexp_replace(text, '[\\p{L}\\p{M}\\p{N}\\s]', '', 'g'))::DOUBLE /
          |      greatest(len(words), 1)::DOUBLE) * 2.0, 0.0) * 0.2 +
          |    greatest(1.0 - (CASE WHEN len(words) = 0 THEN 0.0
          |      ELSE 1.0 - len(list_distinct(words))::DOUBLE / len(words)::DOUBLE END),

@@ -64,7 +64,28 @@ object Heuristics {
     "jak", "ale", "po", "ja", "ty", "już", "tylko", "czy", "gdzie", "teraz",
     // ko
     "이", "그", "저", "것", "수", "들", "등", "및", "에서", "은",
-    "는", "가", "을", "를", "에", "의", "로", "와", "과", "도"
+    "는", "가", "을", "를", "에", "의", "로", "와", "과", "도",
+    // round-5 depth languages (same rule: every language the model
+    // identifies gets function-word coverage, or min_stopword_fraction
+    // silently drops its prose)
+    // sv
+    "och", "att", "det", "som", "på", "är", "av", "den", "till", "inte",
+    "han", "hon", "vi", "du", "sig", "men", "ett", "har", "var", "kan",
+    // tr
+    "bir", "ve", "bu", "için", "ne", "gibi", "ile", "daha", "çok", "ama",
+    "ki", "sonra", "kadar", "göre", "her", "şey", "değil", "çünkü", "olan", "zaman",
+    // id
+    "yang", "dan", "itu", "dengan", "untuk", "tidak", "ini", "dari", "dalam", "akan",
+    "pada", "juga", "saya", "kita", "dia", "mereka", "ada", "bisa", "sudah", "karena",
+    // vi
+    "của", "và", "là", "có", "không", "được", "một", "người", "trong", "cho",
+    "với", "những", "này", "khi", "đã", "các", "để", "tôi", "rất", "cũng",
+    // ar
+    "في", "من", "على", "أن", "إلى", "عن", "مع", "هذا", "هذه", "التي",
+    "الذي", "كان", "هو", "هي", "لا", "ما", "قد", "كل", "بعد", "عند",
+    // hi
+    "के", "में", "है", "और", "की", "से", "का", "को", "पर", "यह",
+    "कि", "नहीं", "एक", "हैं", "था", "हो", "कर", "जो", "वह", "भी"
   ).distinct
 
   def docLength(text: Column): Column = length(coalesce(text, lit("")))
@@ -105,8 +126,14 @@ object Heuristics {
     * filter into a Latin-script filter).
     */
   def symbolWordRatio(text: Column): Column = {
+    // \p{M} (combining marks) are WORD characters, not symbols: Devanagari
+    // vowel signs, Arabic harakat and Thai tone marks are Mn/Mc code
+    // points, so an L/N-only class counts ~40% of normal Hindi prose as
+    // symbols and max_symbol_word_ratio drops the entire language
+    // (round-5 audit finding — the symbol-class analog of the round-4
+    // stopword-coverage defect)
     val symbols = length(regexp_replace(coalesce(text, lit("")),
-      "[\\p{L}\\p{N}\\s]", ""))
+      "[\\p{L}\\p{M}\\p{N}\\s]", ""))
     symbols.cast(DoubleType) / greatest(wordCount(text), lit(1)).cast(DoubleType)
   }
 

@@ -15,7 +15,7 @@ object LangId extends Serializable {
 
   val langs: Array[String] =
     Array("en", "es", "fr", "de", "zh", "it", "pt", "nl", "ru", "ja",
-      "pl", "ko")
+      "pl", "ko", "sv", "tr", "id", "vi", "ar", "hi")
 
   /** Frozen seed corpora: the most common function words per language,
     * plus (round 3) a band of high-frequency CONTENT words — a profile
@@ -142,7 +142,69 @@ object LangId extends Serializable {
       "내일 어제 지금 여기 거기 무엇 누구 언제 어디 왜 어떻게 은 는 가 " +
       "을 를 에 의 로 와 과 도 만 까지 부터 보다 처럼 에게 한다 했다 " +
       "있다 없다 된다 합니다 있습니다 없습니다 때 곳 말했다 생각 경우 " +
-      "정도 이후 동안 모두 다시 함께 바로 가장 매우 아주 너무 정말")
+      "정도 이후 동안 모두 다시 함께 바로 가장 매우 아주 너무 정말"),
+    // round-5 depth expansion: six more languages, two new scripts
+    // (Arabic, Devanagari). Same recipe — public frequency-list function
+    // words plus a content band, frozen. Swedish keeps its å/ä/ö
+    // orthography (the de/nl-neighbor discriminator); Turkish its
+    // dotless-ı/ş/ğ; Vietnamese its dense diacritics.
+    "sv" -> ("och att det som en på är av för med den till i inte om han " +
+      "hon de vi jag du sig men ett har var kan ska skulle från eller när " +
+      "vad där så här efter under över mellan också bara mycket alla andra " +
+      "några vilket sedan redan kanske därför genom utan hos vid ännu sina " +
+      "hade blev vara bli denna detta dessa vilka honom henne dem oss er " +
+      "din min sin vår deras någon något inga många både även fått går " +
+      "tid liv värld dag hus man år land stad arbete kvinna fall sak form " +
+      "regering ögonblick plats sätt vecka historia vatten natt familj " +
+      "människa hand grupp problem ord punkt timme barn skola språk fråga " +
+      "nummer kväll pengar berättelse månad rätt studie bok företag sida"),
+    "tr" -> ("bir ve bu için de da ne gibi ile daha çok o ben sen biz siz " +
+      "onlar ama ki mi var yok olan olarak sonra kadar göre her şey en az " +
+      "önce şimdi burada nerede nasıl neden çünkü eğer ise değil hem ya " +
+      "zaman ancak bütün kendi başka yine böyle şöyle bunu bunun onun " +
+      "bana sana bize size beni seni bizi sizi benim senin bizim sizin " +
+      "diye dedi oldu olur olmak etmek yapmak gelmek gitmek görmek almak " +
+      "vermek bilmek istemek demek bulmak kalmak durmak geçmek çıkmak " +
+      "hayat dünya gün ev adam yıl ülke şehir iş kadın durum biçim " +
+      "hükümet an yer hafta tarih su gece aile insan el grup sorun " +
+      "kelime nokta saat çocuk okul dil soru sayı akşam para öykü ay hak"),
+    "id" -> ("yang dan di itu dengan untuk tidak ini dari dalam akan pada " +
+      "juga saya kita dia mereka kami anda ada bisa sudah telah harus atau " +
+      "tetapi karena jika ketika seperti lebih sangat hanya masih semua " +
+      "setiap banyak sedikit antara tanpa sampai sejak oleh agar supaya " +
+      "namun bahwa adalah menjadi membuat mengatakan melihat datang pergi " +
+      "tahu ingin bilang menemukan tinggal berhenti lewat keluar ialah " +
+      "orang waktu hidup dunia hari rumah tahun negara kota kerja " +
+      "perempuan kasus hal bentuk pemerintah saat tempat cara minggu " +
+      "sejarah air malam keluarga tangan kelompok masalah kata titik jam " +
+      "anak sekolah bahasa pertanyaan nomor sore uang cerita bulan hasil"),
+    "vi" -> ("của và là có không được một người trong cho với những này " +
+      "khi đã các để tôi anh chị em chúng ta họ bạn rất cũng như thì mà " +
+      "lại còn nếu vì sao đây đó nơi từ về sau trước trên dưới giữa ngoài " +
+      "bên theo cùng nhưng nên phải sẽ đang bị ra vào lên xuống đến đi " +
+      "làm nói thấy biết muốn tìm ở lại qua khỏi thành bởi rằng điều gì " +
+      "thời gian cuộc sống thế giới ngày nhà năm đất nước thành phố công " +
+      "việc phụ nữ trường hợp hình thức chính phủ lúc chỗ cách tuần lịch " +
+      "sử nước đêm gia đình bàn tay nhóm vấn đề điểm giờ trẻ con trường " +
+      "học ngôn ngữ câu hỏi số buổi tối tiền câu chuyện tháng kết quả"),
+    "ar" -> ("في من على أن إلى عن مع هذا هذه التي الذي كان كانت هو هي هم " +
+      "نحن أنا أنت لا ما لم لن قد كل بعد قبل عند غير بين حتى إذا لكن ثم " +
+      "أو كما منذ حيث الى التى ذلك تلك هناك هنا عندما لماذا كيف أين متى " +
+      "لأن لكي سوف ليس كانوا يكون تكون أكثر أقل جدا فقط أيضا ضد خلال " +
+      "حول دون لدى عبر نفس بعض جميع أي شيء " +
+      "وقت حياة عالم يوم بيت رجل سنة بلد مدينة عمل امرأة حالة شكل حكومة " +
+      "لحظة مكان طريقة أسبوع تاريخ ماء ليل عائلة إنسان يد مجموعة مشكلة " +
+      "كلمة نقطة ساعة طفل مدرسة لغة سؤال رقم مساء مال قصة شهر نتيجة حق"),
+    "hi" -> ("के में है और की से का को पर यह कि नहीं एक हैं था थी थे हो " +
+      "गया कर रहा रही तो भी जो वह मैं हम आप वे कुछ सब अपने लिए साथ बाद " +
+      "पहले अब यहाँ वहाँ कब कैसे क्यों अगर लेकिन फिर या जब तक बहुत ही " +
+      "इस उस ये वो कोई किसी मुझे तुम उसे हमें उन्हें मेरा तेरा उसका " +
+      "हमारा उनका अपना दो तीन चार होता होती होते करता करती करते किया " +
+      "करना होना जाना आना देखना कहना जानना चाहना मिलना रहना लगना देना " +
+      "समय जीवन दुनिया दिन घर आदमी साल देश शहर काम औरत मामला चीज़ रूप " +
+      "सरकार पल जगह तरीका सप्ताह इतिहास पानी रात परिवार इंसान हाथ समूह " +
+      "समस्या शब्द बिंदु घंटा बच्चा स्कूल भाषा सवाल संख्या शाम पैसा " +
+      "कहानी महीना नतीजा अधिकार")
   )
 
   val dim: Int = 1 << 12

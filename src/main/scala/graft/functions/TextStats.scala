@@ -230,7 +230,14 @@ object TextStats {
             val isLN = Character.isLetter(cp) || {
               val ty = Character.getType(cp)
               ty == Character.DECIMAL_DIGIT_NUMBER ||
-                ty == Character.LETTER_NUMBER || ty == Character.OTHER_NUMBER
+                ty == Character.LETTER_NUMBER ||
+                ty == Character.OTHER_NUMBER ||
+                // \p{M}: combining marks extend letters (Devanagari
+                // matras, Arabic harakat) — counting them as symbols
+                // drops whole scripts via max_symbol_word_ratio
+                ty == Character.NON_SPACING_MARK ||
+                ty == Character.COMBINING_SPACING_MARK ||
+                ty == Character.ENCLOSING_MARK
             }
             if (!isLN) symbols += 1
             if (cp >= 0x10000) { surrPairs += 1; i += 2 } else i += 1

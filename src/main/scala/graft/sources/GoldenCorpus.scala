@@ -24,6 +24,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    (it/pt/nl/ru/ja — two extra scripts)
   *  - (idx >= 330) clean prose in the round-4 depth languages
   *    (pl/ko — one more script)
+  *  - (idx >= 370) clean prose in the round-5 depth languages
+  *    (sv/tr/id/vi/ar/hi — two more scripts: Arabic, Devanagari)
   */
 object GoldenCorpus {
 
@@ -39,6 +41,11 @@ object GoldenCorpus {
     * append discipline.
     */
   private val extraLangs2 = Array("pl", "ko")
+
+  /** Round-5 depth languages, appended past index 370 (two more scripts:
+    * Arabic, Devanagari) — same byte-stable append discipline.
+    */
+  private val extraLangs3 = Array("sv", "tr", "id", "vi", "ar", "hi")
 
   /** FROZEN fixture vocabularies — a snapshot of the LangId seed corpora
     * as of round 3, deliberately NOT a reference to LangId.seeds: the
@@ -131,7 +138,57 @@ object GoldenCorpus {
       "있는 없는 하는 되는 같은 다른 모든 어떤 이런 그런 한국 서울 오늘 " +
       "내일 어제 지금 여기 거기 무엇 누구 언제 어디 왜 어떻게 은 는 가 " +
       "을 를 에 의 로 와 과 도 만 까지 부터 보다 처럼 에게 한다 했다 " +
-      "있다 없다 된다 합니다 있습니다 없습니다 때 곳 말했다 생각 경우")
+      "있다 없다 된다 합니다 있습니다 없습니다 때 곳 말했다 생각 경우"),
+    // round-5 snapshots (same freeze discipline as above)
+    "sv" -> ("och att det som en på är av för med den till i inte om han " +
+      "hon de vi jag du sig men ett har var kan ska skulle från eller när " +
+      "vad där så här efter under över mellan också bara mycket alla andra " +
+      "några vilket sedan redan kanske därför genom utan hos vid ännu sina " +
+      "hade blev vara bli denna detta dessa vilka honom henne dem oss er " +
+      "tid liv värld dag hus man år land stad arbete kvinna fall sak form " +
+      "regering plats sätt vecka historia vatten natt familj människa hand " +
+      "grupp problem ord punkt timme barn skola språk fråga nummer kväll"),
+    "tr" -> ("bir ve bu için de da ne gibi ile daha çok o ben sen biz siz " +
+      "onlar ama ki mi var yok olan olarak sonra kadar göre her şey en az " +
+      "önce şimdi burada nerede nasıl neden çünkü eğer ise değil hem ya " +
+      "zaman ancak bütün kendi başka yine böyle şöyle bunu bunun onun " +
+      "diye dedi oldu olur olmak etmek yapmak gelmek gitmek görmek almak " +
+      "hayat dünya gün ev adam yıl ülke şehir iş kadın durum biçim " +
+      "hükümet an yer hafta tarih su gece aile insan el grup sorun " +
+      "kelime nokta saat çocuk okul dil soru sayı akşam para öykü ay hak"),
+    "id" -> ("yang dan di itu dengan untuk tidak ini dari dalam akan pada " +
+      "juga saya kita dia mereka kami anda ada bisa sudah telah harus atau " +
+      "tetapi karena jika ketika seperti lebih sangat hanya masih semua " +
+      "setiap banyak sedikit antara tanpa sampai sejak oleh agar supaya " +
+      "namun bahwa adalah menjadi membuat mengatakan melihat datang pergi " +
+      "orang waktu hidup dunia hari rumah tahun negara kota kerja " +
+      "perempuan kasus hal bentuk pemerintah saat tempat cara minggu " +
+      "sejarah air malam keluarga tangan kelompok masalah kata titik jam " +
+      "anak sekolah bahasa pertanyaan nomor sore uang cerita bulan hasil"),
+    "vi" -> ("của và là có không được một người trong cho với những này " +
+      "khi đã các để tôi anh chị em chúng ta họ bạn rất cũng như thì mà " +
+      "lại còn nếu vì sao đây đó nơi từ về sau trước trên dưới giữa ngoài " +
+      "bên theo cùng nhưng nên phải sẽ đang bị ra vào lên xuống đến đi " +
+      "làm nói thấy biết muốn tìm ở qua khỏi thành bởi rằng điều gì " +
+      "thời gian cuộc sống thế giới ngày nhà năm đất nước thành phố công " +
+      "việc phụ nữ trường hợp hình thức chính phủ lúc chỗ cách tuần lịch " +
+      "sử nước đêm gia đình bàn tay nhóm vấn đề điểm giờ trẻ con trường " +
+      "học ngôn ngữ câu hỏi số buổi tối tiền câu chuyện tháng kết quả"),
+    "ar" -> ("في من على أن إلى عن مع هذا هذه التي الذي كان كانت هو هي هم " +
+      "نحن أنا أنت لا ما لم لن قد كل بعد قبل عند غير بين حتى إذا لكن ثم " +
+      "أو كما منذ حيث ذلك تلك هناك هنا عندما لماذا كيف أين متى " +
+      "لأن لكي سوف ليس كانوا يكون تكون أكثر أقل جدا فقط أيضا ضد خلال " +
+      "وقت حياة عالم يوم بيت رجل سنة بلد مدينة عمل امرأة حالة شكل حكومة " +
+      "لحظة مكان طريقة أسبوع تاريخ ماء ليل عائلة إنسان يد مجموعة مشكلة " +
+      "كلمة نقطة ساعة طفل مدرسة لغة سؤال رقم مساء مال قصة شهر نتيجة حق"),
+    "hi" -> ("के में है और की से का को पर यह कि नहीं एक हैं था थी थे हो " +
+      "गया कर रहा रही तो भी जो वह मैं हम आप वे कुछ सब अपने लिए साथ बाद " +
+      "पहले अब यहाँ वहाँ कब कैसे क्यों अगर लेकिन फिर या जब तक बहुत ही " +
+      "इस उस ये वो कोई किसी मुझे तुम उसे हमें उन्हें मेरा तेरा उसका " +
+      "समय जीवन दुनिया दिन घर आदमी साल देश शहर काम औरत मामला चीज़ रूप " +
+      "सरकार पल जगह तरीका सप्ताह इतिहास पानी रात परिवार इंसान हाथ समूह " +
+      "समस्या शब्द बिंदु घंटा बच्चा स्कूल भाषा सवाल संख्या शाम पैसा " +
+      "कहानी महीना नतीजा अधिकार")
   )
 
   private def words(lang: String): Array[String] =
@@ -150,7 +207,8 @@ object GoldenCorpus {
   def doc(i: Int): (String, String, String) = {
     val rnd = new scala.util.Random(i.toLong * 7919 + 42)
     val lang =
-      if (i >= 330) extraLangs2((i - 330) % extraLangs2.length)
+      if (i >= 370) extraLangs3((i - 370) % extraLangs3.length)
+      else if (i >= 330) extraLangs2((i - 330) % extraLangs2.length)
       else if (i >= 280) extraLangs((i - 280) % extraLangs.length)
       else langs(i % langs.length)
     val ws = words(lang)
@@ -203,7 +261,7 @@ object GoldenCorpus {
     (s"https://fixture.example.com/doc/$i", text, lang)
   }
 
-  def generate(spark: SparkSession, n: Int = 370): DataFrame = {
+  def generate(spark: SparkSession, n: Int = 430): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     spark.createDataset((0 until n).map(doc))

@@ -115,6 +115,13 @@ class ModelSpec extends AnyFunSuite {
     // round-4 depth languages (one more script)
     assert(LangId.predict("nie wiem gdzie jest teraz ten dom ale może być bardzo dobrze")._1 == "pl")
     assert(LangId.predict("우리 가족 은 지금 학교 에서 한국 말 을 공부 하고 있습니다")._1 == "ko")
+    // round-5 depth languages (two more scripts: Arabic, Devanagari)
+    assert(LangId.predict("huset är mycket stort och barnen är i skolan med sina vänner")._1 == "sv")
+    assert(LangId.predict("bu ev çok büyük ve çocuklar okulda arkadaşları ile birlikte")._1 == "tr")
+    assert(LangId.predict("rumah ini sangat besar dan anak anak ada di sekolah dengan mereka")._1 == "id")
+    assert(LangId.predict("ngôi nhà này rất lớn và trẻ con đang ở trường học với gia đình")._1 == "vi")
+    assert(LangId.predict("هذا البيت كبير جدا والأطفال في المدرسة مع العائلة كل يوم")._1 == "ar")
+    assert(LangId.predict("यह घर बहुत बड़ा है और बच्चे स्कूल में अपने परिवार के साथ हैं")._1 == "hi")
   }
 
   test("langid invariant under whitespace padding; empty => und") {

@@ -22,7 +22,11 @@ class TextStatsSpec extends AnyFunSuite {
     "@#$% ^&*( #$@! 123 abc",
     "The Cat AND the dog WAS at THE house 42 times",
     "a b a b a b a b c d",
-    "多 个 中文 字 的 测试 文本 在 这里"
+    "多 个 中文 字 的 测试 文本 在 这里",
+    // combining marks (Mn/Mc) are word chars, not symbols: Devanagari
+    // matras + nukta, vocalized Arabic harakat (round-5 symbol-class fix)
+    "यह घर बहुत बड़ा है और बच्चे स्कूल में हैं",
+    "المَدْرَسَةُ كَبِيرَةٌ جِدًّا هُنَا"
   )
 
   test("every stats-derived measure equals its Column twin, bit for bit") {
@@ -61,7 +65,7 @@ class TextStatsSpec extends AnyFunSuite {
     val charGen = Gen.frequency(
       8 -> Gen.alphaNumChar,
       3 -> Gen.oneOf(' ', ' ', '\t', '\n', '.', ',', '@', '#', '-'),
-      2 -> Gen.oneOf('é', 'ñ', 'ß', '日', '本', '中', '½', 'Ⅷ'),
+      2 -> Gen.oneOf('é', 'ñ', 'ß', '日', '本', '中', '½', 'Ⅷ', 'क', 'े', '़'),
       1 -> Gen.oneOf("🚀", "𝔘", "𝟗").map(_.charAt(0)) // high surrogates alone too
     )
     val textGen = Gen.chooseNum(0, 120)

@@ -7,9 +7,12 @@ import scala.jdk.CollectionConverters._
   * (weiser/loader/config.py:14-104):
   *   - {{VAR}} templating from the environment (config.py:70-74; the
   *     reference renders through full Jinja2 — we support the
-  *     variable-substitution subset, which covers every shipped reference
-  *     example; loops/conditionals in YAML configs are NOT supported and
-  *     fail loudly as unsubstituted text)
+  *     variable-substitution subset plus Jinja-semantics conditionals,
+  *     {% if %}/{% elif %}/{% else %}/{% endif %} with nesting, `not`,
+  *     and ==/!= string comparison, which covers every shipped reference
+  *     example and the conditional-block pattern real configs use; any
+  *     other {% statement %} — for/set/macro/filters — fails loudly with
+  *     the statement named, never renders as silent text)
   *   - `.env` file loading under the process environment
   *     (weiser/main.py:52-59 python-dotenv parity, see [[envForConfig]])
   *   - recursive `includes` with a visited set (config.py:80-98)
@@ -23,6 +26,110 @@ object ConfigLoader {
     "\\{\\{\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*\\}\\}".r
       .replaceAllIn(raw, m => java.util.regex.Matcher
         .quoteReplacement(env.getOrElse(m.group(1), "")))
+
+  /** Full template render: `{% if %}` conditional blocks first (so a
+    * dropped branch's `{{VAR}}` references never render), then variable
+    * substitution.
+    */
+  def renderTemplate(raw: String, env: Map[String, String] = sys.env): String =
+    substituteEnv(renderConditionals(raw, env), env)
+
+  private val stmtPat = "\\{%\\s*(.*?)\\s*%\\}".r
+
+  /** Jinja2-semantics conditional subset: `{% if EXPR %}` / `{% elif %}` /
+    * `{% else %}` / `{% endif %}`, nested arbitrarily. EXPR is `VAR`
+    * (Jinja truthiness for string env: defined AND non-empty),
+    * `not EXPR`, or `VAR == 'literal'` / `VAR != "literal"`. Any other
+    * statement keyword fails loudly — an unrendered `{% for %}` silently
+    * parsed as YAML text is exactly the class of config bug this loader
+    * refuses to ship.
+    */
+  def renderConditionals(raw: String, env: Map[String, String]): String = {
+    sealed trait Tok
+    final case class Text(s: String) extends Tok
+    final case class Stmt(s: String) extends Tok
+    val toks = scala.collection.mutable.Buffer.empty[Tok]
+    var last = 0
+    for (m <- stmtPat.findAllMatchIn(raw)) {
+      if (m.start > last) toks += Text(raw.substring(last, m.start))
+      toks += Stmt(m.group(1))
+      last = m.end
+    }
+    if (last < raw.length) toks += Text(raw.substring(last))
+    if (toks.forall(_.isInstanceOf[Text])) return raw
+
+    def fail(msg: String): Nothing = throw new IllegalArgumentException(
+      s"config template: $msg (supported: {{VAR}}, {% if/elif/else/endif %} " +
+        "with not and ==/!= string comparison)")
+
+    val cmpPat = "([A-Za-z_][A-Za-z0-9_]*)\\s*(==|!=)\\s*['\"](.*)['\"]".r
+    def truthy(expr: String): Boolean = expr.trim match {
+      case s if s.startsWith("not ") => !truthy(s.substring(4))
+      case cmpPat(v, op, lit) =>
+        val value = env.getOrElse(v, "")
+        if (op == "==") value == lit else value != lit
+      case v if v.matches("[A-Za-z_][A-Za-z0-9_]*") =>
+        env.get(v).exists(_.nonEmpty)
+      case other => fail(s"unsupported {% if %} expression '$other'")
+    }
+
+    var i = 0
+    def parseIf(firstCond: String): String = {
+      var result: Option[String] = None
+      var cond = firstCond
+      var inElse = false
+      while (true) {
+        val (body, stop) = parseBlock(inIf = true)
+        if (result.isEmpty && (inElse || truthy(cond))) result = Some(body)
+        stop match {
+          case None => fail("unterminated {% if %} (missing {% endif %})")
+          case Some(s) =>
+            s.split("\\s+", 2).toList match {
+              case "endif" :: _ => return result.getOrElse("")
+              case "elif" :: rest =>
+                if (inElse) fail("{% elif %} after {% else %}")
+                cond = rest.headOption.filter(_.nonEmpty)
+                  .getOrElse(fail("{% elif %} without an expression"))
+              case "else" :: _ =>
+                if (inElse) fail("duplicate {% else %}")
+                inElse = true
+              case _ => fail(s"unexpected statement '{% $s %}' inside if")
+            }
+        }
+      }
+      "" // unreachable
+    }
+    // renders until an elif/else/endif terminator (returned, consumed) or
+    // end of input; nested ifs recurse. Untaken branches still PARSE
+    // fully (Jinja semantics: syntax errors don't hide in dead branches).
+    def parseBlock(inIf: Boolean): (String, Option[String]) = {
+      val sb = new StringBuilder
+      while (i < toks.length) {
+        toks(i) match {
+          case Text(s) => sb ++= s; i += 1
+          case Stmt(s) =>
+            val kw = s.split("\\s+", 2)(0)
+            if (inIf && (kw == "elif" || kw == "else" || kw == "endif")) {
+              i += 1
+              return (sb.toString, Some(s))
+            }
+            kw match {
+              case "if" =>
+                i += 1
+                val cond = s.split("\\s+", 2).lift(1)
+                  .getOrElse(fail("{% if %} without an expression"))
+                sb ++= parseIf(cond)
+              case "elif" | "else" | "endif" =>
+                fail(s"'{% $s %}' without a matching {% if %}")
+              case other =>
+                fail(s"unsupported statement '{% $s %}'")
+            }
+        }
+      }
+      (sb.toString, None)
+    }
+    parseBlock(inIf = false)._1
+  }
 
   def parseYaml(raw: String): BaseConfig = {
     val yaml = new org.yaml.snakeyaml.Yaml()
@@ -162,7 +269,7 @@ object ConfigLoader {
     if (visited.contains(canonical))
       return (BaseConfig(), visited)
     val raw = new String(Files.readAllBytes(Paths.get(canonical)), "UTF-8")
-    val cfg = parseYaml(substituteEnv(raw, env))
+    val cfg = parseYaml(renderTemplate(raw, env))
     cfg.includes.foldLeft((cfg, visited + canonical)) {
       case ((acc, vis), inc) =>
         val incPath =

@@ -44,6 +44,52 @@ class ConfigLoaderSpec extends AnyFunSuite {
     assert(c2.timeDimension.contains(TimeDimension("warc_ts", "day")))
   }
 
+  test("Jinja conditional subset: if/elif/else, ==/!=, not, nesting, " +
+    "Jinja truthiness; other statements fail loudly") {
+    def r(tpl: String, env: (String, String)*): String =
+      ConfigLoader.renderTemplate(tpl, env.toMap)
+    // truthiness: defined AND non-empty (Jinja string semantics — the
+    // string "false" is TRUTHY, exactly like Jinja)
+    assert(r("{% if X %}yes{% endif %}", "X" -> "1") == "yes")
+    assert(r("{% if X %}yes{% endif %}") == "")
+    assert(r("{% if X %}yes{% endif %}", "X" -> "") == "")
+    assert(r("{% if X %}yes{% else %}no{% endif %}", "X" -> "false") == "yes")
+    assert(r("{% if not X %}off{% endif %}") == "off")
+    // comparisons + elif chain
+    val tpl = "{% if ENV == 'prod' %}P{% elif ENV == 'dev' %}D{% else %}?{% endif %}"
+    assert(r(tpl, "ENV" -> "prod") == "P")
+    assert(r(tpl, "ENV" -> "dev") == "D")
+    assert(r(tpl, "ENV" -> "test") == "?")
+    assert(r("{% if ENV != \"prod\" %}np{% endif %}", "ENV" -> "dev") == "np")
+    // nesting + a dropped branch's {{VAR}} must NOT render
+    assert(r("{% if A %}{% if B %}ab{% else %}a{% endif %}{% endif %}",
+      "A" -> "x") == "a")
+    assert(r("{% if A %}{{MISSING_VAR}}{% else %}ok{% endif %}") == "ok")
+    // vars still substitute in taken branches and plain text
+    assert(r("v={{V}} {% if V %}({{V}}){% endif %}", "V" -> "7") == "v=7 (7)")
+    // loud failures: unsupported statements, dangling/unterminated blocks
+    for (bad <- Seq("{% for x in xs %}{% endfor %}", "{% set x = 1 %}",
+      "{% endif %}", "{% if X %}open", "{% if %}y{% endif %}",
+      "{% if f(x) %}y{% endif %}")) {
+      val e = intercept[IllegalArgumentException](r(bad, "X" -> "1"))
+      assert(e.getMessage.contains("config template"), s"$bad -> $e")
+    }
+    // end-to-end: a conditional checks block through load()
+    val tmp = java.nio.file.Files.createTempDirectory("cfgjinja")
+    java.nio.file.Files.writeString(tmp.resolve("c.yaml"),
+      """checks:
+        |  - {name: always, dataset: t, type: row_count}
+        |{% if GRAFT_TPL_STRICT == 'on' %}
+        |  - {name: strict only, dataset: t, type: row_count}
+        |{% endif %}
+        |""".stripMargin)
+    val on = ConfigLoader.load(tmp.resolve("c.yaml").toString,
+      Map("GRAFT_TPL_STRICT" -> "on"))
+    val off = ConfigLoader.load(tmp.resolve("c.yaml").toString, Map.empty)
+    assert(on.checks.map(_.name) == Seq("always", "strict only"))
+    assert(off.checks.map(_.name) == Seq("always"))
+  }
+
   test("includes merge concatenates checks and dedupes includes") {
     val tmp = java.nio.file.Files.createTempDirectory("cfg")
     java.nio.file.Files.writeString(tmp.resolve("base.yaml"),

@@ -186,6 +186,60 @@ object EventStream {
     spark.table(name)
   }
 
+  /** STREAMING CONTENT DEDUP: first-seen-wins exact dedup over a pages
+    * stream by content fingerprint, emitting an explicit keep DECISION
+    * per document — `dropDuplicates` silently discards losers, but the
+    * corpus pipeline's lineage/metrics need the keep=false rows. Keyed
+    * state via flatMapGroupsWithState: one winning url per distinct
+    * fingerprint (~50 bytes), sharded across executors by fingerprint at
+    * cluster scale — O(distinct texts) state, the streaming analog of the
+    * batch collapse stage. Semantics: FIRST batch seen wins across
+    * batches (streams can't revisit history); the minimum url wins within
+    * a batch, matching the batch operator's min-key rule, so a
+    * single-batch stream reproduces `Dedup.exact` exactly.
+    */
+  def streamingContentDedup(spark: SparkSession, pagesDir: String,
+                            outDir: String,
+                            checkpointDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val decisions = spark.readStream.schema(graft.sources.Pages.schema)
+      .parquet(pagesDir)
+      .select(col("url"), md5(coalesce(col("text"), lit(""))).as("fp"))
+      .as[(String, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (fp: String, rows: Iterator[(String, String)],
+         state: GroupState[String]) => {
+          val urls = rows.map(_._1).toArray.sorted
+          state.getOption match {
+            case Some(_) =>
+              // a winner exists from an earlier batch: everything loses
+              urls.iterator.map(u => (u, fp, false))
+            case None =>
+              val winner = urls.head
+              state.update(winner)
+              urls.iterator.map(u => (u, fp, u == winner))
+          }
+        })
+      .toDF("url", "fingerprint", "keep")
+    // checkpointed fingerprint state SURVIVES restarts: a resumed query
+    // keeps honoring winners chosen before the crash (the streaming
+    // analog of the batch DAG's committed reps stage). Batch-keyed
+    // parquet dirs give exactly-once delivery like streamingQualityFilter.
+    val q = decisions.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(outDir)
+  }
+
   /** Stateful streaming 2: custom per-key running totals via
     * mapGroupsWithState — the KeyValueGroupedDataset state-machine shape
     * for logic built-in aggregations can't express.

@@ -225,6 +225,48 @@ class StreamingSpec extends AnyFunSuite {
     all.unpersist()
   }
 
+  test("streaming content dedup: explicit keep decisions, min-url wins " +
+    "within a batch, first-seen wins across restarts (checkpointed state)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("scd").toString
+    def pages(rows: Seq[(String, String)]) =
+      rows.toDF("url", "text")
+        .select(col("url"),
+          lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).as("warc_ts"),
+          lit(null).cast("binary").as("html"), col("text"),
+          lit("en").as("lang"))
+    // batch 1: texts A (x2), B, C
+    pages(Seq("u3" -> "text A", "u7" -> "text A", "u5" -> "text B",
+      "u9" -> "text C")).write.parquet(s"$tmp/in")
+    val d1 = graft.streaming.EventStream.streamingContentDedup(spark,
+      s"$tmp/in", s"$tmp/out", s"$tmp/ckpt")
+      .select("url", "keep")
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    // min url wins within the batch — same rule as the batch operator
+    assert(d1 == Map("u3" -> true, "u7" -> false, "u5" -> true, "u9" -> true))
+    // single-batch stream == Dedup.exact on the same input
+    val batch = graft.operators.Dedup.exact(
+      pages(Seq("u3" -> "text A", "u7" -> "text A", "u5" -> "text B",
+        "u9" -> "text C")), "text", "url")
+      .select("url", "is_dup").collect()
+      .map(r => r.getString(0) -> !r.getBoolean(1)).toMap
+    assert(d1 == batch)
+
+    // batch 2 after a RESTART: u1 repeats text A with a SMALLER url —
+    // first-seen still wins (u1 loses; streams can't revisit history);
+    // new text D dedups among its own batch
+    pages(Seq("u1" -> "text A", "u2" -> "text D", "u8" -> "text D"))
+      .write.mode("append").parquet(s"$tmp/in")
+    val all = graft.streaming.EventStream.streamingContentDedup(spark,
+      s"$tmp/in", s"$tmp/out", s"$tmp/ckpt")
+      .select("url", "keep")
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    // prior decisions are retained (exactly-once batch dirs) and the new
+    // batch's rows decide against the checkpointed state
+    assert(all == d1 ++ Map("u1" -> false, "u2" -> true, "u8" -> false))
+  }
+
   test("stateful streaming dedup equals batch distinct counts") {
     import org.apache.spark.sql.functions._
     val streamed = EventStream.streamingDedup(spark, eventsDir, "dedup_test")

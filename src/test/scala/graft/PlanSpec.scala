@@ -280,6 +280,44 @@ class PlanSpec extends AnyFunSuite {
     s2.sql("DROP TABLE li_b"); s2.sql("DROP TABLE o_b")
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true in the " +
+    "final adaptive plan) — the engine's second skew defense besides the " +
+    "explicit two-stage salt") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    // production defaults scaled to fixture bytes: a partition is skewed
+    // at 5x median AND > threshold; advisory size makes the split real
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    import s2.implicits._
+    import org.apache.spark.sql.functions.{col => c, _}
+    // one pathological key carries 80% of the fact rows (the "skewed
+    // host" shape); a wide payload makes its partition dominate bytes
+    val fact = s2.range(0, 100000)
+      .select(when(c("id") < 80000, lit(0L)).otherwise(c("id")).as("k"),
+        concat(lit("x" * 64), c("id")).as("payload"))
+    val dim = s2.range(0, 100000).select(c("id").as("k"),
+      concat(lit("d"), c("id")).as("dv"))
+    // a GLOBAL aggregate downstream: a same-key groupBy above the join
+    // would REQUIRE the join's hash partitioning, and AQE (correctly)
+    // refuses to split a skewed partition another operator depends on —
+    // the global agg imposes no distribution, so the split is legal.
+    // sum(length(payload)) keeps the wide column flowing through the
+    // join's shuffle (a bare count would prune it and deflate the skew)
+    val joined = fact.join(dim, Seq("k"))
+      .agg(sum(length(c("payload"))).as("m"))
+    // execute THIS dataframe so its own AdaptiveSparkPlan finalizes
+    assert(joined.collect().nonEmpty)
+    val finalPlan = joined.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("isFinalPlan=true"), finalPlan.take(500))
+    assert(finalPlan.contains("skew=true"),
+      s"AQE did not mark/split the skewed partition:\n${finalPlan.take(3000)}")
+  }
+
   test("single-pass MAD aggregate matches the two-pass formulation") {
     import spark.implicits._
     val h = (1 to 9).map(i => ("en", i.toDouble,

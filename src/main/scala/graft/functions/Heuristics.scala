@@ -85,7 +85,10 @@ object Heuristics {
     "الذي", "كان", "هو", "هي", "لا", "ما", "قد", "كل", "بعد", "عند",
     // hi
     "के", "में", "है", "और", "की", "से", "का", "को", "पर", "यह",
-    "कि", "नहीं", "एक", "हैं", "था", "हो", "कर", "जो", "वह", "भी"
+    "कि", "नहीं", "एक", "हैं", "था", "हो", "कर", "जो", "वह", "भी",
+    // th (segmented-corpus shape, like zh)
+    "ที่", "และ", "ใน", "ของ", "มี", "ไม่", "ให้", "ได้", "ว่า", "เป็น",
+    "การ", "จะ", "ไป", "มา", "กับ", "แต่", "ก็", "อยู่", "คน", "นี้"
   ).distinct
 
   def docLength(text: Column): Column = length(coalesce(text, lit("")))

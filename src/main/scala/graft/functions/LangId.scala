@@ -15,7 +15,7 @@ object LangId extends Serializable {
 
   val langs: Array[String] =
     Array("en", "es", "fr", "de", "zh", "it", "pt", "nl", "ru", "ja",
-      "pl", "ko", "sv", "tr", "id", "vi", "ar", "hi")
+      "pl", "ko", "sv", "tr", "id", "vi", "ar", "hi", "th")
 
   /** Frozen seed corpora: the most common function words per language,
     * plus (round 3) a band of high-frequency CONTENT words — a profile
@@ -204,7 +204,20 @@ object LangId extends Serializable {
       "समय जीवन दुनिया दिन घर आदमी साल देश शहर काम औरत मामला चीज़ रूप " +
       "सरकार पल जगह तरीका सप्ताह इतिहास पानी रात परिवार इंसान हाथ समूह " +
       "समस्या शब्द बिंदु घंटा बच्चा स्कूल भाषा सवाल संख्या शाम पैसा " +
-      "कहानी महीना नतीजा अधिकार")
+      "कहानी महीना नतीजा अधिकार"),
+    // Thai script (one more script; tone/vowel marks are \p{M} — the
+    // combining-mark symbol fix covers them). Real Thai writes without
+    // inter-word spaces; like zh, the seed/fixture corpora use the
+    // segmented shape and the char-n-gram featurizer needs no
+    // segmentation at inference.
+    "th" -> ("ที่ และ ใน ของ มี ไม่ ให้ ได้ ว่า เป็น การ จะ ไป มา กับ แต่ " +
+      "ก็ อยู่ คน นี้ นั้น ซึ่ง จาก โดย เมื่อ ถ้า เพราะ หรือ แล้ว ยัง ต้อง " +
+      "ถูก เขา เรา ฉัน คุณ มัน พวก ทุก บาง อีก มาก น้อย ดี ใหม่ ใหญ่ เล็ก " +
+      "ทำ รู้ เห็น คิด พูด บอก ถาม ตอบ ใช้ หา เอา วัน เวลา ชีวิต โลก " +
+      "บ้าน ผู้ชาย ปี ประเทศ เมือง งาน ผู้หญิง กรณี สิ่ง รูปแบบ รัฐบาล " +
+      "ขณะ สถานที่ วิธี สัปดาห์ ประวัติ น้ำ คืน ครอบครัว มือ กลุ่ม ปัญหา " +
+      "คำ จุด ชั่วโมง เด็ก โรงเรียน ภาษา คำถาม จำนวน เย็น เงิน เรื่อง " +
+      "เดือน ผล สิทธิ หัว ใจ ตา")
   )
 
   val dim: Int = 1 << 12

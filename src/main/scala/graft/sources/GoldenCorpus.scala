@@ -47,6 +47,11 @@ object GoldenCorpus {
     */
   private val extraLangs3 = Array("sv", "tr", "id", "vi", "ar", "hi")
 
+  /** Thai, appended past index 430 (Thai script; segmented-corpus shape
+    * like zh — real Thai writes without inter-word spaces).
+    */
+  private val extraLangs4 = Array("th")
+
   /** FROZEN fixture vocabularies — a snapshot of the LangId seed corpora
     * as of round 3, deliberately NOT a reference to LangId.seeds: the
     * model's seeds may be enriched as the scorer deepens, and model
@@ -188,7 +193,15 @@ object GoldenCorpus {
       "समय जीवन दुनिया दिन घर आदमी साल देश शहर काम औरत मामला चीज़ रूप " +
       "सरकार पल जगह तरीका सप्ताह इतिहास पानी रात परिवार इंसान हाथ समूह " +
       "समस्या शब्द बिंदु घंटा बच्चा स्कूल भाषा सवाल संख्या शाम पैसा " +
-      "कहानी महीना नतीजा अधिकार")
+      "कहानी महीना नतीजा अधिकार"),
+    "th" -> ("ที่ และ ใน ของ มี ไม่ ให้ ได้ ว่า เป็น การ จะ ไป มา กับ แต่ " +
+      "ก็ อยู่ คน นี้ นั้น ซึ่ง จาก โดย เมื่อ ถ้า เพราะ หรือ แล้ว ยัง ต้อง " +
+      "ถูก เขา เรา ฉัน คุณ มัน พวก ทุก บาง อีก มาก น้อย ดี ใหม่ ใหญ่ เล็ก " +
+      "ทำ รู้ เห็น คิด พูด บอก ถาม ตอบ ใช้ หา เอา วัน เวลา ชีวิต โลก " +
+      "บ้าน ผู้ชาย ปี ประเทศ เมือง งาน ผู้หญิง กรณี สิ่ง รูปแบบ รัฐบาล " +
+      "ขณะ สถานที่ วิธี สัปดาห์ ประวัติ น้ำ คืน ครอบครัว มือ กลุ่ม ปัญหา " +
+      "คำ จุด ชั่วโมง เด็ก โรงเรียน ภาษา คำถาม จำนวน เย็น เงิน เรื่อง " +
+      "เดือน ผล สิทธิ หัว ใจ ตา")
   )
 
   private def words(lang: String): Array[String] =
@@ -207,7 +220,8 @@ object GoldenCorpus {
   def doc(i: Int): (String, String, String) = {
     val rnd = new scala.util.Random(i.toLong * 7919 + 42)
     val lang =
-      if (i >= 370) extraLangs3((i - 370) % extraLangs3.length)
+      if (i >= 430) extraLangs4((i - 430) % extraLangs4.length)
+      else if (i >= 370) extraLangs3((i - 370) % extraLangs3.length)
       else if (i >= 330) extraLangs2((i - 330) % extraLangs2.length)
       else if (i >= 280) extraLangs((i - 280) % extraLangs.length)
       else langs(i % langs.length)
@@ -261,7 +275,7 @@ object GoldenCorpus {
     (s"https://fixture.example.com/doc/$i", text, lang)
   }
 
-  def generate(spark: SparkSession, n: Int = 430): DataFrame = {
+  def generate(spark: SparkSession, n: Int = 440): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     spark.createDataset((0 until n).map(doc))

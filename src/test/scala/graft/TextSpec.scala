@@ -122,6 +122,10 @@ class ModelSpec extends AnyFunSuite {
     assert(LangId.predict("ngôi nhà này rất lớn và trẻ con đang ở trường học với gia đình")._1 == "vi")
     assert(LangId.predict("هذا البيت كبير جدا والأطفال في المدرسة مع العائلة كل يوم")._1 == "ar")
     assert(LangId.predict("यह घर बहुत बड़ा है और बच्चे स्कूल में अपने परिवार के साथ हैं")._1 == "hi")
+    assert(LangId.predict("บ้าน นี้ ใหญ่ มาก และ เด็ก อยู่ ที่ โรงเรียน กับ ครอบครัว")._1 == "th")
+    // Thai at inference needs NO segmentation — the char-n-gram
+    // featurizer reads the unsegmented form real Thai text has
+    assert(LangId.predict("บ้านนี้ใหญ่มากและเด็กอยู่ที่โรงเรียนกับครอบครัว")._1 == "th")
   }
 
   test("langid invariant under whitespace padding; empty => und") {

@@ -161,7 +161,19 @@ object Heuristics {
 
   def dup2gramFraction(text: Column): Column = dup2gramUdf(words(text))
 
-  /** Fraction of words that are stopwords — low coverage flags non-prose. */
+  /** Fraction of words that are stopwords — low coverage flags non-prose.
+    *
+    * BOUNDARY: word-based measures (this, word_count, repetition ratios)
+    * assume whitespace-delimited input. Scripts written WITHOUT
+    * inter-word spaces (zh, ja, th) must be segmented upstream before
+    * the word rules discriminate — unsegmented prose in those scripts
+    * reads as one giant "word" with stopword fraction ~0 and would be
+    * dropped by min_stopword_fraction. Language ID has no such
+    * requirement (char n-grams, pinned on unsegmented Thai); a
+    * production deployment for unsegmented corpora plugs a segmenter in
+    * front or relaxes the word rules per-script. The fixture corpora use
+    * the segmented shape for exactly this reason.
+    */
   def stopwordFraction(text: Column): Column = {
     val stopArr = array(stopwords.map(lit): _*)
     val hits = size(filter(words(text), w => array_contains(stopArr, lower(w))))

@@ -338,6 +338,10 @@ object Bench {
       s.stop()
       t
     }
+    // bracket the low-occupancy phase with the bandwidth probe too — it
+    // is the headline BASELINE metric and its windows deserve the same
+    // attribution evidence as the saturated pairs
+    val membwLowOccBefore = membwGbps(32)
     oneRunQ(8, warm = true); oneRunQ(2, warm = true)
     val bestQ = scala.collection.mutable.Map(2 -> Double.MaxValue,
       8 -> Double.MaxValue)
@@ -351,6 +355,7 @@ object Bench {
       if (i % 2 == 1) (measuredQ(8), measuredQ(2))
       else { val t2 = measuredQ(2); (measuredQ(8), t2) }
     }
+    val membwLowOccAfter = membwGbps(32)
     val effQ = (pairsQ.map(_._2).min / pairsQ.map(_._1).min) / 4.0
     val effQratios = pairsQ.map { case (t8q, t2q) => (t2q / t8q) / 4.0 }.sorted
     val effs = pairs.map { case (t32, t8) => (t8 / t32) / 4.0 }.sorted
@@ -397,6 +402,8 @@ object Bench {
       s""""efficiency_note":"saturated-box local[8]->local[32] best-per-arm (round-1 metric definition); the cluster-faithful low-occupancy N->4N and the ALU-normalized ratio are reported under their own keys -- see BENCH.md",""" +
       s""""efficiency_alu_normalized":${f"${efficiency832 / cpuEff}%.3f"},""" +
       s""""efficiency_low_occupancy":${f"$effQ%.3f"},""" +
+      s""""membw_gbps_low_occ_before":${f"$membwLowOccBefore%.2f"},""" +
+      s""""membw_gbps_low_occ_after":${f"$membwLowOccAfter%.2f"},""" +
       s""""low_occupancy_pair_ratios":[${effQratios.map(e => f"$e%.3f").mkString(",")}],""" +
       s""""efficiency_8_32_median_pair":${f"$efficiencyMedian%.3f"},""" +
       s""""pair_ratios_8_32":[${effs.map(e => f"$e%.3f").mkString(",")}],""" +

@@ -90,6 +90,49 @@ class ConfigLoaderSpec extends AnyFunSuite {
     assert(off.checks.map(_.name) == Seq("always"))
   }
 
+  test("Jinja conditional renderer: random nested templates match a " +
+    "reference evaluation (property)") {
+    val env = Map("A" -> "1", "B" -> "", "C" -> "prod", "D" -> "x")
+    // build (template, expectedOutput) pairs recursively: the expected
+    // side is computed structurally, never by the code under test
+    def build(rnd: scala.util.Random, depth: Int): (String, String) = {
+      rnd.nextInt(if (depth >= 4) 2 else 5) match {
+        case 0 => val t = "t" + rnd.nextInt(100) + " "; (t, t)
+        case 1 =>
+          val v = Seq("A", "B", "C", "MISSING")(rnd.nextInt(4))
+          (s"{{$v}}", env.getOrElse(v, ""))
+        case 2 =>
+          val (t1, e1) = build(rnd, depth + 1)
+          val (t2, e2) = build(rnd, depth + 1)
+          (t1 + t2, e1 + e2)
+        case _ =>
+          val (cond, truth) = rnd.nextInt(4) match {
+            case 0 => val v = Seq("A", "B", "MISSING")(rnd.nextInt(3))
+              (v, env.get(v).exists(_.nonEmpty))
+            case 1 => val v = Seq("A", "B")(rnd.nextInt(2))
+              (s"not $v", !env.get(v).exists(_.nonEmpty))
+            case 2 => val lit = Seq("prod", "dev")(rnd.nextInt(2))
+              (s"C == '$lit'", env("C") == lit)
+            case _ => val lit = Seq("prod", "dev")(rnd.nextInt(2))
+              (s"C != '$lit'", env("C") != lit)
+          }
+          val (t1, e1) = build(rnd, depth + 1)
+          if (rnd.nextBoolean()) {
+            val (t2, e2) = build(rnd, depth + 1)
+            (s"{% if $cond %}$t1{% else %}$t2{% endif %}",
+              if (truth) e1 else e2)
+          } else
+            (s"{% if $cond %}$t1{% endif %}", if (truth) e1 else "")
+      }
+    }
+    (0 until 300).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val (tpl, expected) = build(rnd, 0)
+      val got = ConfigLoader.renderTemplate(tpl, env)
+      assert(got == expected, s"seed=$seed template=$tpl got=$got expected=$expected")
+    }
+  }
+
   test("includes merge concatenates checks and dedupes includes") {
     val tmp = java.nio.file.Files.createTempDirectory("cfg")
     java.nio.file.Files.writeString(tmp.resolve("base.yaml"),

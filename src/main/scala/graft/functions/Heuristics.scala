@@ -175,8 +175,14 @@ object Heuristics {
     * the segmented shape for exactly this reason.
     */
   def stopwordFraction(text: Column): Column = {
-    val stopArr = array(stopwords.map(lit): _*)
-    val hits = size(filter(words(text), w => array_contains(stopArr, lower(w))))
+    // membership via the static case-folded O(1) hash table shared with
+    // the fused pass (TextScalarExpr -> TextStats.stopHits): the old
+    // `array_contains(literal stoplist, lower(w))` lambda was an
+    // O(|stoplist|) linear scan per word that tripled text_quality's
+    // runtime when the stoplist reached ~270 entries — and kept growing
+    // with every language added. Value is bit-identical (TextStatsSpec
+    // pins it against an independent split+Set reference).
+    val hits = TextScalarExpr(text, "stop_hits")
     hits.cast(DoubleType) / greatest(wordCount(text), lit(1)).cast(DoubleType)
   }
 

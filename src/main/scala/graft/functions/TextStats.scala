@@ -85,7 +85,17 @@ object TextStats {
     if (until - from != w.length) return false
     var i = 0
     while (i < w.length) {
-      if (Character.toLowerCase(t.charAt(from + i)) != w.charAt(i)) return false
+      val c = t.charAt(from + i)
+      // U+0130 (LATIN CAPITAL LETTER I WITH DOT ABOVE) is the one
+      // unconditional 1:N lowercase in Unicode SpecialCasing: full
+      // lowercase — what Spark's lower() and the DuckDB oracle's
+      // lower() apply — maps it to "i"+U+0307, which can never equal a
+      // stopword, while Character.toLowerCase's 1:1 simple map folds it
+      // to plain 'i' — which IS a stopword (pl/it). Counting "İ" as a
+      // stopword hit would silently diverge from the oracle semantics
+      // (round-6 property-test finding); reject it explicitly.
+      if (c == 'İ') return false
+      if (Character.toLowerCase(c) != w.charAt(i)) return false
       i += 1
     }
     true
@@ -98,6 +108,36 @@ object TextStats {
       s = (s + 1) & (stopCap - 1)
     }
     false
+  }
+
+  /** Standalone stopword-hit counter over the raw text (whitespace word
+    * walk + the static O(1) hash table above). This is the production
+    * backend of the COLUMN twin `Heuristics.stopwordFraction`: the old
+    * pure-Column formulation scanned a literal ~270-entry array with
+    * string equality per word (`array_contains`), an O(|stoplist|·words)
+    * cost that grew with every language added — the round-5 driver stamp
+    * measured text_quality 0.60 -> 1.87 s from exactly that. Word
+    * boundaries are the `\s+` split twin (isAsciiSpace = Java regex \s),
+    * membership is the same case-folded table the fused pass uses, so the
+    * value is bit-identical to the fused STOP_HITS field and to the
+    * DuckDB `list_contains(stoplist, lower(x))` oracle (TextStatsSpec).
+    * Called from generated code via [[TextScalarExpr]].
+    */
+  def stopHits(text: org.apache.spark.unsafe.types.UTF8String): Int =
+    stopHitsStr(if (text == null) "" else text.toString)
+
+  def stopHitsStr(t: String): Int = {
+    var hits = 0
+    var i = 0
+    while (i < t.length) {
+      if (isAsciiSpace(t.charAt(i))) i += 1
+      else {
+        val ws = i
+        while (i < t.length && !isAsciiSpace(t.charAt(i))) i += 1
+        if (isStopword(t, ws, i)) hits += 1
+      }
+    }
+    hits
   }
 
   @inline private def rangeHash(t: String, from: Int, until: Int): Int = {

@@ -93,6 +93,33 @@ class TextStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("stopHits equals an independent split+lower+Set reference") {
+    // stopwordFraction's Column twin now routes through the same static
+    // hash table as the fused pass (the O(1) round-6 fix), so twin-vs-twin
+    // equality no longer pins the stopword semantics by itself. This is
+    // the independent reference: regex \s+ split, full-string ROOT
+    // lowercase, plain Set membership — the semantics the DuckDB
+    // `list_contains(stoplist, lower(x))` oracle implements.
+    val stopSet = Heuristics.stopwords.toSet
+    def reference(t: String): Int =
+      t.split("\\s+").filter(_.nonEmpty)
+        .count(w => stopSet.contains(w.toLowerCase(java.util.Locale.ROOT)))
+    val mixed = docs.filter(_ != null) ++ Seq(
+      "The AND Und DER la LE les ДА и В не 的 の に ที่ และ में के في من",
+      "notastopword thethe aand thethe\tthe\nthe", // \s variants
+      "ß İ ı DİE die", // locale-special folds must not invent hits
+      (0 until 400).map(i => if (i % 3 == 0) "the" else s"w$i").mkString(" "))
+    mixed.foreach { t =>
+      assert(TextStats.stopHitsStr(t) == reference(t),
+        s"stopHits mismatch on [$t]")
+    }
+    // and the codegen'd expression agrees end-to-end, null included
+    val rows = (mixed ++ Seq(null)).toDF("text")
+      .select(graft.functions.TextScalarExpr(col("text"), "stop_hits"))
+      .collect().map(_.getInt(0))
+    assert(rows.toSeq == (mixed.map(reference) ++ Seq(0)))
+  }
+
   test("scrubFast (one-pass UDF) equals the regexp_replace chain, byte for byte") {
     val piiDocs = docs ++ Seq(
       "mail a@b.co call 555-123-4567 or (212) 555-1234 ssn 123-45-6789 " +

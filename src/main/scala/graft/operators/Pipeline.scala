@@ -48,9 +48,9 @@ object Pipeline {
       s"$outDir/verdicts", metricsDir, runId, buckets,
       failAfter = failAfterBuckets, rules = rules)
     val verdicts = spark.read.parquet(s"$outDir/verdicts")
-    val kept = verdicts.filter(col("keep"))
-      .select(col("url"), col("scrubbed_text"))
-    val (decisions, dedupReport) = Dedup.dedupResumable(kept, "url",
+    val keptVerdicts = verdicts.filter(col("keep"))
+    val (decisions, dedupReport) = Dedup.dedupResumable(
+      keptVerdicts.select(col("url"), col("scrubbed_text")), "url",
       "scrubbed_text", s"$outDir/dedup_stages",
       jaccardThreshold = jaccardThreshold,
       failAfter = failAfterDedupStages)
@@ -60,16 +60,33 @@ object Pipeline {
       // left-semi on the dedup survivors: the corpus carries the full
       // verdict row (scrubbed text, lang, scores, lineage columns), only
       // for documents that passed quality AND are their cluster's keeper
-      verdicts.filter(col("keep"))
+      keptVerdicts
         .join(decisions.filter(col("keep")).select(col("url")),
           Seq("url"), "left_semi")
         .write.mode("overwrite").parquet(corpusPath)
     }
+    // ONE action for all four report counts (round-5 verdict: the old
+    // shape spent four extra full scans — pages.count, kept.count, a
+    // drop-count over decisions and a re-read of the corpus — purely for
+    // the JSON report; at 10^12 documents that is real money). verdicts
+    // has exactly one row per input page (runBucketed partitions pages by
+    // url bucket and writes each exactly once, PipelineFullSpec), and
+    // decisions has one row per quality keeper, so the corpus size is the
+    // decisions keep-count — the commit protocol makes the written corpus
+    // deterministic, so no re-read is needed. Two 1-row aggregates
+    // cross-joined = one job over two column-pruned parquet scans.
+    val c = verdicts
+      .agg(count(lit(1)).as("pages"),
+        coalesce(count_if(col("keep")), lit(0L)).as("kept"))
+      .crossJoin(decisions.agg(
+        coalesce(count_if(!col("keep")), lit(0L)).as("dropped"),
+        coalesce(count_if(col("keep")), lit(0L)).as("corpus")))
+      .head()
     Report(
-      pages = pages.count(),
-      qualityKept = kept.count(),
-      dupDropped = decisions.filter(!col("keep")).count(),
-      corpusDocs = spark.read.parquet(corpusPath).count(),
+      pages = c.getAs[Long]("pages"),
+      qualityKept = c.getAs[Long]("kept"),
+      dupDropped = c.getAs[Long]("dropped"),
+      corpusDocs = c.getAs[Long]("corpus"),
       bucketsRun = ran, bucketsSkipped = skipped,
       dedupStages = dedupReport,
       corpusRecomputed = !corpusCommitted)

@@ -35,9 +35,37 @@ class PipelineFullSpec extends AnyFunSuite {
     assert(corpus.columns.sorted.toSeq == verdicts.columns.sorted.toSeq)
     assert(corpus.filter(!col("keep")).count() == 0)
 
-    // idempotent rerun: nothing recomputed, identical corpus
-    val r2 = Pipeline.runFull(spark, pages, out, s"$out/metrics", "pf1",
-      buckets = 4, jaccardThreshold = 0.5)
+    // idempotent rerun: nothing recomputed, identical corpus — and the
+    // JSON report costs exactly ONE action (round-6 fix: the old shape
+    // ran four extra scans purely for the report; on a fully-committed
+    // rerun the report is the only query execution left, so the listener
+    // count pins it)
+    val actions = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit = actions.incrementAndGet()
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    val r2 =
+      try {
+        val res = Pipeline.runFull(spark, pages, out, s"$out/metrics", "pf1",
+          buckets = 4, jaccardThreshold = 0.5)
+        // listener events are posted async: poll until the count is stable
+        var last = -1
+        var waited = 0
+        while (actions.get != last && waited < 5000) {
+          last = actions.get
+          Thread.sleep(250); waited += 250
+        }
+        res
+      } finally spark.listenerManager.unregister(listener)
+    assert(actions.get == 1,
+      s"expected the report to be the only action on a committed rerun, " +
+        s"saw ${actions.get}")
     assert(r2.bucketsRun == 0 && r2.bucketsSkipped == 4)
     assert(r2.dedupStages.ran.isEmpty && r2.dedupStages.skipped.size == 5)
     assert(!r2.corpusRecomputed)

@@ -27,24 +27,39 @@ object ConfigLoader {
       .replaceAllIn(raw, m => java.util.regex.Matcher
         .quoteReplacement(env.getOrElse(m.group(1), "")))
 
-  /** Full template render: `{% if %}` conditional blocks first (so a
-    * dropped branch's `{{VAR}}` references never render), then variable
-    * substitution.
+  /** Full template render: statements ({% if %} blocks, {% for %} loops)
+    * and `{{VAR}}` substitution in ONE recursive-descent pass, each text
+    * region substituted exactly once with the variables in scope at that
+    * point — so a dropped branch's `{{VAR}}` references never render, a
+    * loop variable is visible only inside its body (and shadows an
+    * environment variable of the same name, Jinja scoping), and an env
+    * VALUE containing `{{...}}` is never re-rendered (Jinja treats
+    * substituted values as plain text, not templates).
+    *
+    * Jinja2-semantics subset (reference renders through full Jinja2,
+    * weiser/loader/config.py:70-74):
+    *   - `{% if EXPR %}` / `{% elif EXPR %}` / `{% else %}` / `{% endif %}`
+    *     nested arbitrarily; EXPR is `VAR` (Jinja string truthiness:
+    *     defined AND non-empty), `not EXPR`, or `VAR == 'lit'` /
+    *     `VAR != "lit"` with exactly-paired quotes — compound expressions
+    *     (and/or, mixed quotes, trailing tokens) fail loudly instead of
+    *     silently mis-evaluating.
+    *   - `{% for X in VAR.split('sep') %}body{% endfor %}` and
+    *     `{% for X in ['a', "b"] %}body{% endfor %}` — the
+    *     one-check-per-list-entry pattern. split follows Python
+    *     semantics exactly ("" splits to [""], empty fields kept); an
+    *     undefined source VAR fails loudly (Jinja raises on
+    *     undefined.split too, it does not silently skip the loop).
+    *   - every branch's condition and body are PARSED (validated) whether
+    *     or not taken — Jinja semantics: syntax errors don't hide in dead
+    *     branches or empty loops.
+    * Any other statement — set/macro/filters/`{%-` trim tags — fails
+    * loudly with the statement named, and a stray un-tokenized `{%` in
+    * the text (e.g. an unclosed or newline-split tag the regex missed)
+    * fails too: an unrendered statement silently parsed as YAML text is
+    * exactly the class of config bug this loader refuses to ship.
     */
-  def renderTemplate(raw: String, env: Map[String, String] = sys.env): String =
-    substituteEnv(renderConditionals(raw, env), env)
-
-  private val stmtPat = "\\{%\\s*(.*?)\\s*%\\}".r
-
-  /** Jinja2-semantics conditional subset: `{% if EXPR %}` / `{% elif %}` /
-    * `{% else %}` / `{% endif %}`, nested arbitrarily. EXPR is `VAR`
-    * (Jinja truthiness for string env: defined AND non-empty),
-    * `not EXPR`, or `VAR == 'literal'` / `VAR != "literal"`. Any other
-    * statement keyword fails loudly — an unrendered `{% for %}` silently
-    * parsed as YAML text is exactly the class of config bug this loader
-    * refuses to ship.
-    */
-  def renderConditionals(raw: String, env: Map[String, String]): String = {
+  def renderTemplate(raw: String, env: Map[String, String] = sys.env): String = {
     sealed trait Tok
     final case class Text(s: String) extends Tok
     final case class Stmt(s: String) extends Tok
@@ -56,31 +71,77 @@ object ConfigLoader {
       last = m.end
     }
     if (last < raw.length) toks += Text(raw.substring(last))
-    if (toks.forall(_.isInstanceOf[Text])) return raw
+    if (toks.forall(_.isInstanceOf[Text])) return substituteEnv(raw, env)
 
     def fail(msg: String): Nothing = throw new IllegalArgumentException(
       s"config template: $msg (supported: {{VAR}}, {% if/elif/else/endif %} " +
-        "with not and ==/!= string comparison)")
+        "with not and ==/!= string comparison, " +
+        "{% for X in VAR.split(',') %}/{% for X in ['a','b'] %})")
 
-    val cmpPat = "([A-Za-z_][A-Za-z0-9_]*)\\s*(==|!=)\\s*['\"](.*)['\"]".r
-    def truthy(expr: String): Boolean = expr.trim match {
-      case s if s.startsWith("not ") => !truthy(s.substring(4))
-      case cmpPat(v, op, lit) =>
-        val value = env.getOrElse(v, "")
-        if (op == "==") value == lit else value != lit
-      case v if v.matches("[A-Za-z_][A-Za-z0-9_]*") =>
-        env.get(v).exists(_.nonEmpty)
-      case other => fail(s"unsupported {% if %} expression '$other'")
+    toks.foreach {
+      case Text(t) if t.contains("{%") =>
+        fail("malformed or unterminated '{%' tag " +
+          s"near [${t.substring(t.indexOf("{%")).take(40)}]")
+      case _ => ()
     }
 
+    // quote pairs matched exactly and anchored — "ENV == 'a' or X == 'b'"
+    // must fail loudly, not full-match with a quote-spanning literal
+    val cmpPat =
+      "([A-Za-z_][A-Za-z0-9_]*)\\s*(==|!=)\\s*(?:'([^']*)'|\"([^\"]*)\")".r
+    /** Parse = validate an if-expression eagerly; returns the evaluator
+      * (run only for branches that need deciding, against the scope at
+      * evaluation time).
+      */
+    def parseCond(expr: String): Map[String, String] => Boolean =
+      expr.trim match {
+        case s if s.startsWith("not ") =>
+          val inner = parseCond(s.substring(4)); sc => !inner(sc)
+        case cmpPat(v, op, sq, dq) =>
+          val lit = if (sq != null) sq else dq
+          sc => {
+            val value = sc.getOrElse(v, "")
+            if (op == "==") value == lit else value != lit
+          }
+        case v if v.matches("[A-Za-z_][A-Za-z0-9_]*") =>
+          sc => sc.get(v).exists(_.nonEmpty)
+        case other => fail(s"unsupported {% if %} expression '$other'")
+      }
+
+    val forSplitPat =
+      ("([A-Za-z_][A-Za-z0-9_]*)\\s+in\\s+([A-Za-z_][A-Za-z0-9_]*)" +
+        "\\.split\\(\\s*(?:'([^']*)'|\"([^\"]*)\")\\s*\\)").r
+    val forListPat = "([A-Za-z_][A-Za-z0-9_]*)\\s+in\\s+\\[(.*)\\]".r
+    val listItemPat = "\\s*(?:'([^']*)'|\"([^\"]*)\")\\s*".r
+    def parseFor(spec: String,
+                 scope: Map[String, String]): (String, Seq[String]) =
+      spec.trim match {
+        case forSplitPat(x, src, sq, dq) =>
+          val sep = if (sq != null) sq else dq
+          val value = scope.getOrElse(src,
+            fail(s"{% for %} over undefined variable '$src'"))
+          // Python str.split: "" -> [""], empty fields kept
+          (x, value.split(java.util.regex.Pattern.quote(sep), -1).toSeq)
+        case forListPat(x, items) =>
+          val parts =
+            if (items.trim.isEmpty) Seq.empty
+            else items.split(",", -1).toSeq.map {
+              case listItemPat(sq, dq) => if (sq != null) sq else dq
+              case bad => fail(s"unsupported {% for %} list item '$bad'")
+            }
+          (x, parts)
+        case other => fail(s"unsupported {% for %} expression '$other'")
+      }
+
     var i = 0
-    def parseIf(firstCond: String): String = {
+    def parseIf(firstCond: String, scope: Map[String, String]): String = {
       var result: Option[String] = None
-      var cond = firstCond
+      var cond = parseCond(firstCond)
       var inElse = false
       while (true) {
-        val (body, stop) = parseBlock(inIf = true)
-        if (result.isEmpty && (inElse || truthy(cond))) result = Some(body)
+        val (body, stop) =
+          parseBlock(scope, Set("elif", "else", "endif"))
+        if (result.isEmpty && (inElse || cond(scope))) result = Some(body)
         stop match {
           case None => fail("unterminated {% if %} (missing {% endif %})")
           case Some(s) =>
@@ -88,8 +149,10 @@ object ConfigLoader {
               case "endif" :: _ => return result.getOrElse("")
               case "elif" :: rest =>
                 if (inElse) fail("{% elif %} after {% else %}")
-                cond = rest.headOption.filter(_.nonEmpty)
-                  .getOrElse(fail("{% elif %} without an expression"))
+                // parse (validate) EVERY branch condition, taken or not —
+                // an unsupported expression in a dead elif must not pass
+                cond = parseCond(rest.headOption.filter(_.nonEmpty)
+                  .getOrElse(fail("{% elif %} without an expression")))
               case "else" :: _ =>
                 if (inElse) fail("duplicate {% else %}")
                 inElse = true
@@ -99,17 +162,17 @@ object ConfigLoader {
       }
       "" // unreachable
     }
-    // renders until an elif/else/endif terminator (returned, consumed) or
-    // end of input; nested ifs recurse. Untaken branches still PARSE
-    // fully (Jinja semantics: syntax errors don't hide in dead branches).
-    def parseBlock(inIf: Boolean): (String, Option[String]) = {
+    // renders until a terminator in stopKws (returned, consumed) or end of
+    // input; nested ifs/fors recurse
+    def parseBlock(scope: Map[String, String],
+                   stopKws: Set[String]): (String, Option[String]) = {
       val sb = new StringBuilder
       while (i < toks.length) {
         toks(i) match {
-          case Text(s) => sb ++= s; i += 1
+          case Text(s) => sb ++= substituteEnv(s, scope); i += 1
           case Stmt(s) =>
             val kw = s.split("\\s+", 2)(0)
-            if (inIf && (kw == "elif" || kw == "else" || kw == "endif")) {
+            if (stopKws.contains(kw)) {
               i += 1
               return (sb.toString, Some(s))
             }
@@ -118,9 +181,27 @@ object ConfigLoader {
                 i += 1
                 val cond = s.split("\\s+", 2).lift(1)
                   .getOrElse(fail("{% if %} without an expression"))
-                sb ++= parseIf(cond)
+                sb ++= parseIf(cond, scope)
+              case "for" =>
+                i += 1
+                val spec = s.split("\\s+", 2).lift(1)
+                  .getOrElse(fail("{% for %} without an expression"))
+                val (x, items) = parseFor(spec, scope)
+                val bodyStart = i
+                def once(item: String): String = {
+                  i = bodyStart
+                  val (body, stop) = parseBlock(scope + (x -> item),
+                    Set("endfor"))
+                  if (stop.isEmpty)
+                    fail("unterminated {% for %} (missing {% endfor %})")
+                  body
+                }
+                if (items.isEmpty) once("") // parse the body anyway
+                else items.foreach(item => sb ++= once(item))
               case "elif" | "else" | "endif" =>
                 fail(s"'{% $s %}' without a matching {% if %}")
+              case "endfor" =>
+                fail(s"'{% $s %}' without a matching {% for %}")
               case other =>
                 fail(s"unsupported statement '{% $s %}'")
             }
@@ -128,8 +209,13 @@ object ConfigLoader {
       }
       (sb.toString, None)
     }
-    parseBlock(inIf = false)._1
+    parseBlock(env, Set.empty)._1
   }
+
+  /** Tag tokenizer — DOTALL: a legal Jinja tag may contain newlines; a
+    * non-dotall `.` would leave it untokenized as silent YAML text.
+    */
+  private val stmtPat = "(?s)\\{%\\s*(.*?)\\s*%\\}".r
 
   def parseYaml(raw: String): BaseConfig = {
     val yaml = new org.yaml.snakeyaml.Yaml()

@@ -70,10 +70,21 @@ class ConfigLoaderSpec extends AnyFunSuite {
     // loud failures: unsupported statements, dangling/unterminated blocks
     for (bad <- Seq("{% for x in xs %}{% endfor %}", "{% set x = 1 %}",
       "{% endif %}", "{% if X %}open", "{% if %}y{% endif %}",
-      "{% if f(x) %}y{% endif %}")) {
+      "{% if f(x) %}y{% endif %}",
+      // round-6 ADVICE regressions — each of these previously either
+      // silently mis-evaluated or passed through as silent text:
+      "{% if ENV == 'a' or ENV == 'b' %}y{% endif %}", // greedy-quote compound
+      "{% if ENV == 'a\" %}y{% endif %}",              // mixed quote pair
+      "{% if X %}y{% elif f(x) %}z{% endif %}",        // dead-elif validation
+      "{% if X %}y{% endif", // unterminated tag -> stray '{%' in text
+      "{% endfor %}", "{% for x in ['a'] %}open",
+      "{% for x in MISSING_SRC.split(',') %}y{% endfor %}")) {
       val e = intercept[IllegalArgumentException](r(bad, "X" -> "1"))
       assert(e.getMessage.contains("config template"), s"$bad -> $e")
     }
+    // a legal Jinja tag containing a newline must tokenize (dotall), not
+    // pass through as YAML text
+    assert(r("{% if ENV\n   == 'prod' %}P{% endif %}", "ENV" -> "prod") == "P")
     // end-to-end: a conditional checks block through load()
     val tmp = java.nio.file.Files.createTempDirectory("cfgjinja")
     java.nio.file.Files.writeString(tmp.resolve("c.yaml"),
@@ -90,46 +101,122 @@ class ConfigLoaderSpec extends AnyFunSuite {
     assert(off.checks.map(_.name) == Seq("always"))
   }
 
+  test("Jinja for-loop subset: split/list sources, nesting, scoping, " +
+    "Python split semantics; end-to-end through load()") {
+    def r(tpl: String, env: (String, String)*): String =
+      ConfigLoader.renderTemplate(tpl, env.toMap)
+    // env-driven list (the real config use) + literal list
+    assert(r("{% for t in TABLES.split(',') %}[{{t}}]{% endfor %}",
+      "TABLES" -> "a,b,c") == "[a][b][c]")
+    assert(r("{% for t in ['x', \"y\"] %}{{t}};{% endfor %}") == "x;y;")
+    assert(r("{% for t in [] %}{{t}};{% endfor %}") == "")
+    // Python str.split semantics, exactly: "" -> [""], empty fields kept
+    assert(r("{% for t in E.split(',') %}[{{t}}]{% endfor %}", "E" -> "")
+      == "[]")
+    assert(r("{% for t in T.split(',') %}[{{t}}]{% endfor %}",
+      "T" -> "a,,b,") == "[a][][b][]")
+    // multi-char separator is quoted literally, not regex
+    assert(r("{% for t in T.split('|.|') %}[{{t}}]{% endfor %}",
+      "T" -> "a|.|b") == "[a][b]")
+    // nesting + conditions over the loop var + shadowing an env var
+    assert(r("{% for a in X.split(',') %}{% for b in Y.split(',') %}" +
+      "{{a}}{{b}} {% endfor %}{% endfor %}",
+      "X" -> "1,2", "Y" -> "p,q") == "1p 1q 2p 2q ")
+    assert(r("{% for t in T.split(',') %}" +
+      "{% if t == 'b' %}!{% else %}{{t}}{% endif %}{% endfor %}",
+      "T" -> "a,b,c") == "a!c")
+    assert(r("{{t}}/{% for t in ['in'] %}{{t}}{% endfor %}/{{t}}",
+      "t" -> "out") == "out/in/out")
+    // an empty loop still validates its body (Jinja: syntax errors do not
+    // hide in never-executed bodies)
+    val dead = intercept[IllegalArgumentException](
+      r("{% for t in [] %}{% bogus %}{% endfor %}"))
+    assert(dead.getMessage.contains("bogus"))
+    // end-to-end: one check per list entry through load()
+    val tmp = java.nio.file.Files.createTempDirectory("cfgfor")
+    java.nio.file.Files.writeString(tmp.resolve("loop.yaml"),
+      """checks:
+        |{% for t in GRAFT_TPL_TABLES.split(',') %}
+        |  - {name: rc {{t}}, dataset: {{t}}, type: row_count}
+        |{% endfor %}
+        |""".stripMargin)
+    val cfg = ConfigLoader.load(tmp.resolve("loop.yaml").toString,
+      Map("GRAFT_TPL_TABLES" -> "pages,events,docs"))
+    assert(cfg.checks.map(_.name) == Seq("rc pages", "rc events", "rc docs"))
+    assert(cfg.checks.map(_.dataset) ==
+      Seq(Seq("pages"), Seq("events"), Seq("docs")))
+  }
+
   test("Jinja conditional renderer: random nested templates match a " +
     "reference evaluation (property)") {
-    val env = Map("A" -> "1", "B" -> "", "C" -> "prod", "D" -> "x")
-    // build (template, expectedOutput) pairs recursively: the expected
-    // side is computed structurally, never by the code under test
-    def build(rnd: scala.util.Random, depth: Int): (String, String) = {
-      rnd.nextInt(if (depth >= 4) 2 else 5) match {
-        case 0 => val t = "t" + rnd.nextInt(100) + " "; (t, t)
+    val env = Map("A" -> "1", "B" -> "", "C" -> "prod", "D" -> "x",
+      "L1" -> "a,b", "L2" -> "", "L3" -> "p,,q")
+    // build (template, referenceEval) pairs recursively: the reference
+    // side is a structural evaluator over the in-scope variables, never
+    // the code under test. Scope-dependent eval covers loop-variable
+    // shadowing and conditions over loop vars.
+    type Scope = Map[String, String]
+    def truthyRef(sc: Scope, v: String) = sc.get(v).exists(_.nonEmpty)
+    def build(rnd: scala.util.Random, depth: Int,
+              loopVars: List[String]): (String, Scope => String) = {
+      rnd.nextInt(if (depth >= 4) 2 else 6) match {
+        case 0 => val t = "t" + rnd.nextInt(100) + " "; (t, _ => t)
         case 1 =>
-          val v = Seq("A", "B", "C", "MISSING")(rnd.nextInt(4))
-          (s"{{$v}}", env.getOrElse(v, ""))
+          val v = (Seq("A", "B", "C", "MISSING") ++ loopVars)(
+            rnd.nextInt(4 + loopVars.length))
+          (s"{{$v}}", sc => sc.getOrElse(v, ""))
         case 2 =>
-          val (t1, e1) = build(rnd, depth + 1)
-          val (t2, e2) = build(rnd, depth + 1)
-          (t1 + t2, e1 + e2)
+          val (t1, e1) = build(rnd, depth + 1, loopVars)
+          val (t2, e2) = build(rnd, depth + 1, loopVars)
+          (t1 + t2, sc => e1(sc) + e2(sc))
+        case 5 =>
+          // a loop: env-driven split or literal list, nested bodies may
+          // reference (and shadow) the loop var
+          val x = s"v${loopVars.length}"
+          val (srcTpl, items): (String, Scope => Seq[String]) =
+            if (rnd.nextBoolean()) {
+              val src = Seq("L1", "L2", "L3")(rnd.nextInt(3))
+              (s"$src.split(',')", sc => sc(src).split(",", -1).toSeq)
+            } else {
+              val lits = Seq.fill(rnd.nextInt(3))("i" + rnd.nextInt(10))
+              (lits.map("'" + _ + "'").mkString("[", ", ", "]"),
+                _ => lits)
+            }
+          val (t1, e1) = build(rnd, depth + 1, x :: loopVars)
+          (s"{% for $x in $srcTpl %}$t1{% endfor %}",
+            sc => items(sc).map(item => e1(sc + (x -> item))).mkString)
         case _ =>
-          val (cond, truth) = rnd.nextInt(4) match {
+          val (cond, truth): (String, Scope => Boolean) = rnd.nextInt(5) match {
             case 0 => val v = Seq("A", "B", "MISSING")(rnd.nextInt(3))
-              (v, env.get(v).exists(_.nonEmpty))
+              (v, truthyRef(_, v))
             case 1 => val v = Seq("A", "B")(rnd.nextInt(2))
-              (s"not $v", !env.get(v).exists(_.nonEmpty))
+              (s"not $v", sc => !truthyRef(sc, v))
             case 2 => val lit = Seq("prod", "dev")(rnd.nextInt(2))
-              (s"C == '$lit'", env("C") == lit)
-            case _ => val lit = Seq("prod", "dev")(rnd.nextInt(2))
-              (s"C != '$lit'", env("C") != lit)
+              (s"C == '$lit'", sc => sc("C") == lit)
+            case 3 => val lit = Seq("prod", "dev")(rnd.nextInt(2))
+              (s"C != '$lit'", sc => sc("C") != lit)
+            case _ if loopVars.nonEmpty =>
+              val v = loopVars(rnd.nextInt(loopVars.length))
+              val lit = Seq("a", "b", "i1")(rnd.nextInt(3))
+              (s"$v == '$lit'", sc => sc.getOrElse(v, "") == lit)
+            case _ => ("A", truthyRef(_, "A"))
           }
-          val (t1, e1) = build(rnd, depth + 1)
+          val (t1, e1) = build(rnd, depth + 1, loopVars)
           if (rnd.nextBoolean()) {
-            val (t2, e2) = build(rnd, depth + 1)
+            val (t2, e2) = build(rnd, depth + 1, loopVars)
             (s"{% if $cond %}$t1{% else %}$t2{% endif %}",
-              if (truth) e1 else e2)
+              sc => if (truth(sc)) e1(sc) else e2(sc))
           } else
-            (s"{% if $cond %}$t1{% endif %}", if (truth) e1 else "")
+            (s"{% if $cond %}$t1{% endif %}",
+              sc => if (truth(sc)) e1(sc) else "")
       }
     }
-    (0 until 300).foreach { seed =>
+    (0 until 500).foreach { seed =>
       val rnd = new scala.util.Random(seed)
-      val (tpl, expected) = build(rnd, 0)
+      val (tpl, expected) = build(rnd, 0, Nil)
       val got = ConfigLoader.renderTemplate(tpl, env)
-      assert(got == expected, s"seed=$seed template=$tpl got=$got expected=$expected")
+      assert(got == expected(env),
+        s"seed=$seed template=$tpl got=$got expected=${expected(env)}")
     }
   }
 

@@ -271,7 +271,15 @@ object SparkEntry {
       round(Heuristics.symbolWordRatio(col("text")), 6).as("symbol_word_ratio"),
       round(Heuristics.stopwordFraction(col("text")), 6).as("stopword_fraction"),
       round(Heuristics.wordRepetitionRatio(col("text")), 6).as("word_repetition"),
-      Heuristics.qualityScore(col("text")).as("quality_score"))),
+      Heuristics.qualityScore(col("text")).as("quality_score"),
+      round(Heuristics.scriptNoSpaceFraction(col("text")), 6)
+        .as("script_nospace_fraction"),
+      round(Heuristics.symbolRatioAdaptive(col("text")), 6)
+        .as("symbol_ratio_adaptive"),
+      round(Heuristics.stopwordFractionAdaptive(col("text")), 6)
+        .as("stopword_fraction_adaptive"),
+      round(Heuristics.repetitionAdaptive(col("text")), 6)
+        .as("repetition_adaptive"))),
 
     "text_fingerprint" -> ((s, dir) => t(s, dir, "documents").select(
       col("doc_id"), Heuristics.fingerprintMd5(col("text")).as("fingerprint"),
@@ -497,6 +505,33 @@ object SparkEntry {
   private val stopList =
     Heuristics.stopwords.map(w => s"'$w'").mkString("[", ",", "]")
 
+  /** No-space-script code-point class (zh/ja/th), the RE2 twin of
+    * TextStats.isNoSpaceScript — \x{..} ranges parse identically in RE2
+    * and java.util.regex.
+    */
+  private val noSpaceClass =
+    "\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}" +
+      "\\x{F900}-\\x{FAFF}\\x{0E01}-\\x{0E4E}"
+
+  /** Sum of code points covered by non-overlapping occurrences of each
+    * no-space stopword: Σ_w (length(t) - length(replace(t, w, ''))) —
+    * replace() is greedy-left non-overlapping, exactly the JVM indexOf
+    * walk in TextStats.noSpaceStopCover.
+    */
+  private def noSpaceCoverSql(t: String): String =
+    graft.functions.TextStats.noSpaceStopwords
+      .map(w => s"(length($t) - length(replace($t, '$w', '')))")
+      .mkString("(", " + ", ")")
+
+  /** Duplicated code-point 4-gram fraction, the repetition twin for
+    * no-space scripts: (total - distinct)/total over substr 4-grams.
+    */
+  private def char4DupSql(t: String): String =
+    s"""CASE WHEN length($t) < 4 THEN 0.0
+       |     ELSE (length($t) - 3 - len(list_distinct(list_transform(
+       |            range(length($t) - 3), i -> ($t)[(i+1):(i+4)]))))::DOUBLE /
+       |          (length($t) - 3)::DOUBLE END""".stripMargin
+
   private val docWords =
     """list_filter(string_split_regex(coalesce(text, ''), '\s+'),
       |            x -> length(x) > 0)""".stripMargin
@@ -552,6 +587,14 @@ object SparkEntry {
        |  FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2, 3, 4)""".stripMargin
 
+  /** The heuristic-rule verdict oracle. Round 6: the three word rules are
+    * script-ADAPTIVE — no-space-script-dominant documents (>= 30% zh/ja/
+    * th code points) evaluate char-based twins (symbols per code point,
+    * stopword substring coverage, duplicated char 4-grams) so UNSEGMENTED
+    * CJK/Thai prose is judged by rules that can see it. quality_score
+    * deliberately keeps the original word-based formula (its definition
+    * is frozen with the goldens).
+    */
   private val pipelineVerdictSql: String =
     s"""WITH $pagesCte,
            |m AS (
@@ -559,11 +602,14 @@ object SparkEntry {
            |    list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
            |                x -> length(x) > 0) AS words
            |  FROM pages),
-           |r AS (
+           |r0 AS (
            |  SELECT url, text, words,
            |    length(coalesce(text,'')) AS dl,
-           |    length(regexp_replace(coalesce(text,''), '[\\p{L}\\p{M}\\p{N}\\s]', '', 'g'))::DOUBLE /
-           |      greatest(len(words), 1)::DOUBLE AS swr,
+           |    length(regexp_replace(coalesce(text,''), '[\\p{L}\\p{M}\\p{N}\\s]', '', 'g')) AS sym,
+           |    (length(regexp_replace(coalesce(text,''), '[^$noSpaceClass]', '', 'g'))::DOUBLE /
+           |      greatest(length(coalesce(text,'')), 1)::DOUBLE >= 0.3) AS nsb,
+           |    ${noSpaceCoverSql("coalesce(text,'')")} AS cover,
+           |    ${char4DupSql("coalesce(text,'')")} AS c4,
            |    len(list_filter(words, x -> list_contains(
            |      $stopList, lower(x))))::DOUBLE /
            |      greatest(len(words), 1)::DOUBLE AS stop,
@@ -577,15 +623,24 @@ object SparkEntry {
            |           (len(words) - 1)::DOUBLE
            |    END AS b2,
            |    0.0 AS dup
-           |  FROM m)
+           |  FROM m),
+           |r AS (
+           |  SELECT url, text, words, dl, stop, rep, b2, dup,
+           |    sym::DOUBLE / greatest(len(words), 1)::DOUBLE AS swr,
+           |    CASE WHEN nsb THEN sym::DOUBLE / greatest(dl, 1)::DOUBLE
+           |         ELSE sym::DOUBLE / greatest(len(words), 1)::DOUBLE END AS swr_a,
+           |    CASE WHEN nsb THEN cover::DOUBLE / greatest(dl, 1)::DOUBLE
+           |         ELSE stop END AS stop_a,
+           |    CASE WHEN nsb THEN c4 ELSE rep END AS rep_a
+           |  FROM r0)
            |SELECT url,
-           |  (dl >= 100) AND (swr <= 0.1) AND (stop >= 0.01) AND (rep <= 0.95)
+           |  (dl >= 100) AND (swr_a <= 0.1) AND (stop_a >= 0.01) AND (rep_a <= 0.95)
            |    AND (b2 <= 0.5) AND (dup <= 0.3) AS keep,
            |  list_filter([
            |    CASE WHEN NOT (dl >= 100) THEN 'min_doc_length' END,
-           |    CASE WHEN NOT (swr <= 0.1) THEN 'max_symbol_word_ratio' END,
-           |    CASE WHEN NOT (stop >= 0.01) THEN 'min_stopword_fraction' END,
-           |    CASE WHEN NOT (rep <= 0.95) THEN 'max_word_repetition' END,
+           |    CASE WHEN NOT (swr_a <= 0.1) THEN 'max_symbol_word_ratio' END,
+           |    CASE WHEN NOT (stop_a >= 0.01) THEN 'min_stopword_fraction' END,
+           |    CASE WHEN NOT (rep_a <= 0.95) THEN 'max_word_repetition' END,
            |    CASE WHEN NOT (b2 <= 0.5) THEN 'max_dup_2gram' END,
            |    CASE WHEN NOT (dup <= 0.3) THEN 'max_dup_line_fraction' END],
            |    x -> x IS NOT NULL) AS fail_reasons,
@@ -832,30 +887,46 @@ object SparkEntry {
          |  SELECT doc_id, text,
          |    list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
          |                x -> length(x) > 0) AS words
-         |  FROM documents)
+         |  FROM documents),
+         |w2 AS (
+         |  SELECT doc_id, text, words,
+         |    length(coalesce(text,'')) AS dl,
+         |    length(regexp_replace(coalesce(text,''), '[\\p{L}\\p{M}\\p{N}\\s]', '', 'g')) AS sym,
+         |    length(regexp_replace(coalesce(text,''), '[^$noSpaceClass]', '', 'g')) AS ns,
+         |    ${noSpaceCoverSql("coalesce(text,'')")} AS cover,
+         |    ${char4DupSql("coalesce(text,'')")} AS c4,
+         |    len(list_filter(words, x -> list_contains(
+         |      $stopList, lower(x)))) AS stopn,
+         |    CASE WHEN len(words) = 0 THEN 0.0
+         |      ELSE 1.0 - len(list_distinct(words))::DOUBLE / len(words)::DOUBLE END AS rep
+         |  FROM w)
          |SELECT doc_id,
          |  length(text) AS doc_length,
          |  len(words) AS word_count,
          |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS token_count,
-         |  round(length(regexp_replace(text, '[\\p{L}\\p{M}\\p{N}\\s]', '', 'g'))::DOUBLE /
-         |    greatest(len(words), 1)::DOUBLE, 6) AS symbol_word_ratio,
-         |  round(len(list_filter(words, x -> list_contains(
-         |    $stopList, lower(x))))::DOUBLE /
+         |  round(sym::DOUBLE / greatest(len(words), 1)::DOUBLE, 6) AS symbol_word_ratio,
+         |  round(stopn::DOUBLE /
          |    greatest(len(words), 1)::DOUBLE, 6) AS stopword_fraction,
-         |  round(CASE WHEN len(words) = 0 THEN 0.0
-         |    ELSE 1.0 - len(list_distinct(words))::DOUBLE / len(words)::DOUBLE END, 6)
-         |    AS word_repetition,
+         |  round(rep, 6) AS word_repetition,
          |  round(
          |    least(length(text)::DOUBLE / 500.0, 1.0) * 0.3 +
-         |    least((len(list_filter(words, x -> list_contains(
-         |      $stopList, lower(x))))::DOUBLE /
+         |    least((stopn::DOUBLE /
          |      greatest(len(words), 1)::DOUBLE) / 0.1, 1.0) * 0.3 +
-         |    greatest(1.0 - (length(regexp_replace(text, '[\\p{L}\\p{M}\\p{N}\\s]', '', 'g'))::DOUBLE /
+         |    greatest(1.0 - (sym::DOUBLE /
          |      greatest(len(words), 1)::DOUBLE) * 2.0, 0.0) * 0.2 +
-         |    greatest(1.0 - (CASE WHEN len(words) = 0 THEN 0.0
-         |      ELSE 1.0 - len(list_distinct(words))::DOUBLE / len(words)::DOUBLE END),
-         |      0.0) * 0.2, 6) AS quality_score
-         |FROM w""".stripMargin,
+         |    greatest(1.0 - rep, 0.0) * 0.2, 6) AS quality_score,
+         |  round(ns::DOUBLE / greatest(dl, 1)::DOUBLE, 6) AS script_nospace_fraction,
+         |  round(CASE WHEN ns::DOUBLE / greatest(dl, 1)::DOUBLE >= 0.3
+         |    THEN sym::DOUBLE / greatest(dl, 1)::DOUBLE
+         |    ELSE sym::DOUBLE / greatest(len(words), 1)::DOUBLE END, 6)
+         |    AS symbol_ratio_adaptive,
+         |  round(CASE WHEN ns::DOUBLE / greatest(dl, 1)::DOUBLE >= 0.3
+         |    THEN cover::DOUBLE / greatest(dl, 1)::DOUBLE
+         |    ELSE stopn::DOUBLE / greatest(len(words), 1)::DOUBLE END, 6)
+         |    AS stopword_fraction_adaptive,
+         |  round(CASE WHEN ns::DOUBLE / greatest(dl, 1)::DOUBLE >= 0.3
+         |    THEN c4 ELSE rep END, 6) AS repetition_adaptive
+         |FROM w2""".stripMargin,
 
     // rolling hash re-derived in SQL: base-31 polynomial mod 1e9+7
     "text_fingerprint" ->

@@ -186,6 +186,62 @@ object Heuristics {
     hits.cast(DoubleType) / greatest(wordCount(text), lit(1)).cast(DoubleType)
   }
 
+  // ---- script-adaptive measures (round 6) ----------------------------
+  // Word-based rules assume whitespace-delimited input; real Common-Crawl
+  // zh/ja/th prose arrives UNSEGMENTED and reads as one giant "word"
+  // (stopword fraction ~0, symbol/word ratio absurd), so the plain word
+  // rules silently drop whole languages. The adaptive variants switch to
+  // char-based twins when >= 30% of code points are in the no-space
+  // script ranges (TextStats.isNoSpaceScript): stopword coverage by
+  // substring occurrence over the frozen zh/ja/th stoplists, symbols per
+  // code point, repetition over code-point 4-grams. Space-script
+  // documents evaluate the branch condition only — CaseWhen keeps the
+  // char-twin expressions unevaluated for them. Language ID needed no
+  // such adaptation (char n-grams, pinned on unsegmented Thai).
+
+  /** Fraction of code points in no-space-script ranges (the branch
+    * condition, exposed as a measure for observability).
+    */
+  def scriptNoSpaceFraction(text: Column): Column =
+    TextScalarExpr(text, "nospace_count").cast(DoubleType) /
+      greatest(docLength(text), lit(1)).cast(DoubleType)
+
+  private def inNoSpaceBranch(text: Column): Column =
+    scriptNoSpaceFraction(text) >= lit(0.3)
+
+  /** Symbols per word (space scripts) / per code point (no-space
+    * scripts), against the same 0.1-scale threshold: clean CJK prose runs
+    * ~5% punctuation code points, symbol soup far above.
+    */
+  def symbolRatioAdaptive(text: Column): Column = {
+    val symbols = length(regexp_replace(coalesce(text, lit("")),
+      "[\\p{L}\\p{M}\\p{N}\\s]", ""))
+    when(inNoSpaceBranch(text),
+      symbols.cast(DoubleType) /
+        greatest(docLength(text), lit(1)).cast(DoubleType))
+      .otherwise(symbolWordRatio(text))
+  }
+
+  /** Stopword fraction of words (space scripts) / stopword-covered
+    * fraction of code points (no-space scripts). Coverage counts
+    * non-overlapping occurrences per stoplist word independently, so
+    * overlapping hits of DIFFERENT words each count — same sum the
+    * DuckDB length(t)-length(replace(t,w,'')) twin computes.
+    */
+  def stopwordFractionAdaptive(text: Column): Column =
+    when(inNoSpaceBranch(text),
+      TextScalarExpr(text, "nospace_stop_cover").cast(DoubleType) /
+        greatest(docLength(text), lit(1)).cast(DoubleType))
+      .otherwise(stopwordFraction(text))
+
+  /** Word-repetition ratio (space scripts) / duplicated code-point
+    * 4-gram fraction (no-space scripts) — keyword stuffing scores ~1.0
+    * in both twins, clean prose low.
+    */
+  def repetitionAdaptive(text: Column): Column =
+    when(inNoSpaceBranch(text), TextScalarExpr(text, "char4_dup_fraction"))
+      .otherwise(wordRepetitionRatio(text))
+
   /** 1 - distinct/total words: repetition (spammy keyword stuffing). */
   def wordRepetitionRatio(text: Column): Column = {
     val n = wordCount(text)

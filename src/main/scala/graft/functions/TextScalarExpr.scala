@@ -62,7 +62,13 @@ object TextScalarExpr {
                         eval: UTF8String => Any)
 
   val fns: Map[String, Spec] = Map(
-    "stop_hits" -> Spec("stopHits", IntegerType, TextStats.stopHits _)
+    "stop_hits" -> Spec("stopHits", IntegerType, TextStats.stopHits _),
+    "nospace_count" -> Spec("noSpaceCount", IntegerType,
+      TextStats.noSpaceCount _),
+    "nospace_stop_cover" -> Spec("noSpaceStopCover", IntegerType,
+      TextStats.noSpaceStopCover _),
+    "char4_dup_fraction" -> Spec("char4DupFraction", DoubleType,
+      TextStats.char4DupFraction _)
   )
 
   def apply(text: Column, fn: String): Column =

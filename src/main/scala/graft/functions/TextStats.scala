@@ -50,6 +50,42 @@ object TextStats {
   val NON_SPACE_COUNT = 9 // code points not \s (ASCII class, as regex)
   val UPPER_COUNT = 10    // A-Z
   val DIGIT_COUNT = 11    // 0-9
+  // ---- round-6 script-adaptive fields (unsegmented zh/ja/th support) ----
+  val NOSPACE_COUNT = 12     // code points in the no-space-script ranges
+  val NOSPACE_STOP_COVER = 13 // code points covered by no-space stopword
+                              // occurrences; 0 unless the no-space branch
+                              // is taken (see noSpaceBranch)
+  val CHAR4_TOTAL = 14       // code-point 4-grams; 0 unless branch taken
+  val CHAR4_DUP = 15         // duplicated 4-gram occurrences; ditto
+
+  /** Scripts written without inter-word spaces, as code-point ranges:
+    * Hiragana/Katakana (3040-30FF incl. the chōonpu), CJK ideographs
+    * (3400-4DBF, 4E00-9FFF, F900-FAFF), Thai letters/vowels/tone marks
+    * (0E01-0E4E). Hangul is NOT here — Korean is space-segmented. CJK
+    * punctuation (3000-303F) is deliberately outside: 。、 stay symbols.
+    */
+  @inline def isNoSpaceScript(cp: Int): Boolean =
+    (cp >= 0x4E00 && cp <= 0x9FFF) ||
+      (cp >= 0x3040 && cp <= 0x30FF) ||
+      (cp >= 0x3400 && cp <= 0x4DBF) ||
+      (cp >= 0xF900 && cp <= 0xFAFF) ||
+      (cp >= 0x0E01 && cp <= 0x0E4E)
+
+  /** The word rules switch to char-based twins when at least 30% of a
+    * document's code points are no-space-script — computed as an IEEE
+    * double compare on both engines (JVM and the DuckDB oracle divide
+    * the same two ints), so the branch decision is bit-identical.
+    */
+  @inline def noSpaceBranch(nospace: Int, docLength: Int): Boolean =
+    nospace.toDouble / math.max(docLength, 1).toDouble >= 0.3
+
+  /** The frozen stoplist entries usable for substring matching in
+    * no-space scripts (every char in the no-space ranges): the zh/ja/th
+    * sublists, exactly.
+    */
+  val noSpaceStopwords: Array[String] = Heuristics.stopwords
+    .filter(w => w.nonEmpty && w.forall(c => isNoSpaceScript(c.toInt)))
+    .toArray
 
   private val symbolPat = Pattern.compile("[^\\p{L}\\p{N}\\s]")
 
@@ -140,6 +176,70 @@ object TextStats {
     hits
   }
 
+  // ---- standalone script-adaptive counters (Column-twin backends via
+  // TextScalarExpr; the fused pass computes the same values in its
+  // post-pass). Each is evaluated lazily behind the no-space branch in a
+  // CaseWhen, so space-script documents never pay for them. ----
+
+  /** Code points in the no-space-script ranges (DuckDB twin: length of
+    * the text with `[^ranges]` regexp-removed).
+    */
+  def noSpaceCount(text: org.apache.spark.unsafe.types.UTF8String): Int = {
+    val t = if (text == null) "" else text.toString
+    var n = 0
+    var i = 0
+    while (i < t.length) {
+      val cp = t.codePointAt(i)
+      if (isNoSpaceScript(cp)) n += 1
+      i += Character.charCount(cp)
+    }
+    n
+  }
+
+  /** Code points covered by non-overlapping occurrences of each no-space
+    * stopword, summed per word independently (DuckDB twin per word:
+    * length(t) - length(replace(t, w, ''))).
+    */
+  def noSpaceStopCover(text: org.apache.spark.unsafe.types.UTF8String): Int = {
+    val t = if (text == null) "" else text.toString
+    var cover = 0
+    var w = 0
+    while (w < noSpaceStopwords.length) {
+      val sw = noSpaceStopwords(w)
+      var idx = t.indexOf(sw)
+      while (idx >= 0) {
+        cover += sw.length
+        idx = t.indexOf(sw, idx + sw.length)
+      }
+      w += 1
+    }
+    cover
+  }
+
+  /** Duplicated code-point 4-gram fraction: (total - distinct) / total,
+    * 0.0 for texts shorter than 4 code points (DuckDB twin via
+    * list_distinct over substr 4-grams).
+    */
+  def char4DupFraction(text: org.apache.spark.unsafe.types.UTF8String): Double = {
+    val t = if (text == null) "" else text.toString
+    val cps = t.codePoints().toArray
+    val total = cps.length - 3
+    if (total <= 0) return 0.0
+    // boxed exactness is fine here: the hot path is the fused compute()'s
+    // open-addressing tables — this standalone twin exists for the
+    // pure-Column pipeline and oracle checks
+    val seen = new java.util.HashSet[java.util.List[Integer]]()
+    var dup = 0
+    var j = 0
+    while (j < total) {
+      val key = java.util.List.of[Integer](cps(j), cps(j + 1), cps(j + 2),
+        cps(j + 3))
+      if (!seen.add(key)) dup += 1
+      j += 1
+    }
+    dup.toDouble / total.toDouble
+  }
+
   @inline private def rangeHash(t: String, from: Int, until: Int): Int = {
     var h = 0x811c9dc5
     var i = from
@@ -195,6 +295,28 @@ object TextStats {
       }
       gen += 1 // gen 0 marks empty slots of freshly allocated arrays
     }
+    // char-4-gram tables (no-space-script branch only): same
+    // generation-stamp scheme, separate sizing — 4-gram count tracks code
+    // points, not words
+    var cpBuf = new Array[Int](1024)
+    var c4Cap = 1024
+    var c4Mask = c4Cap - 1
+    var c4Gen = 0
+    var c4GenArr = new Array[Int](c4Cap)
+    var c4Slot = new Array[Int](c4Cap)
+    def ensureChar4(nGrams: Int, nCps: Int): Unit = {
+      if (nCps > cpBuf.length)
+        cpBuf = new Array[Int](Integer.highestOneBit(nCps) * 2)
+      val need = Integer.highestOneBit(math.max(nGrams, 4)) * 4
+      if (need > c4Cap) {
+        c4Cap = need; c4Mask = c4Cap - 1; c4Gen = 0
+        c4GenArr = new Array[Int](c4Cap); c4Slot = new Array[Int](c4Cap)
+      }
+      if (c4Gen == Int.MaxValue) {
+        java.util.Arrays.fill(c4GenArr, 0); c4Gen = 0
+      }
+      c4Gen += 1
+    }
   }
   private val scratch = ThreadLocal.withInitial[Scratch](() => new Scratch)
 
@@ -222,6 +344,7 @@ object TextStats {
     // code-point length. One walk over the text instead of four.
     var upper = 0; var digit = 0; var spaceUnits = 0
     var tokens = 0; var symbols = 0; var surrPairs = 0
+    var nospace = 0
     var tokenState = 0 // 0 = none, 1 = in letter run, 2 = in digit run
     val sc = scratch.get()
     sc.ensure(maxWords)
@@ -280,6 +403,7 @@ object TextStats {
                 ty == Character.ENCLOSING_MARK
             }
             if (!isLN) symbols += 1
+            if (isNoSpaceScript(cp)) nospace += 1
             if (cp >= 0x10000) { surrPairs += 1; i += 2 } else i += 1
           }
         }
@@ -360,8 +484,74 @@ object TextStats {
       li += 1
     }
 
+    // ---- script-adaptive post-pass (round 6): only when the document is
+    // no-space-script-dominant, so Latin-script corpora pay nothing. The
+    // word rules don't discriminate on unsegmented zh/ja/th (the whole
+    // text is one "word"); their char-based twins do:
+    //  - stopword COVERAGE: code points covered by non-overlapping
+    //    occurrences of each frozen zh/ja/th stopword, counted per word
+    //    independently (occurrences of different stopwords may overlap;
+    //    the DuckDB twin length(t)-length(replace(t,w,'')) per word sums
+    //    identically). O(|noSpaceStopwords|) indexOf scans per doc — ~60
+    //    SIMD-intrinsic passes over a page, taken only on CJK/Thai docs;
+    //    an Aho-Corasick pass is the upgrade path if no-space corpora
+    //    ever dominate the scan cost.
+    //  - repetition: duplicated code-point 4-grams (total - distinct),
+    //    the char twin of duplicated word bigrams.
+    var cover = 0; var c4Total = 0; var c4Dup = 0
+    if (noSpaceBranch(nospace, docLength)) {
+      val sws = noSpaceStopwords
+      var w = 0
+      while (w < sws.length) {
+        val sw = sws(w)
+        var idx = t.indexOf(sw)
+        while (idx >= 0) {
+          cover += sw.length // all no-space stopwords are BMP: units==cps
+          idx = t.indexOf(sw, idx + sw.length)
+        }
+        w += 1
+      }
+      c4Total = math.max(docLength - 3, 0)
+      if (c4Total > 0) {
+        sc.ensureChar4(c4Total, docLength)
+        val cps = sc.cpBuf
+        var k = 0
+        var ci2 = 0
+        while (ci2 < t.length) {
+          val cp = t.codePointAt(ci2)
+          cps(k) = cp; k += 1
+          ci2 += Character.charCount(cp)
+        }
+        val cMask = sc.c4Mask
+        val cGen = sc.c4Gen
+        val cGenArr = sc.c4GenArr
+        val cSlot = sc.c4Slot
+        var j = 0
+        while (j < c4Total) {
+          var h = 0x811c9dc5
+          h ^= cps(j); h *= 0x01000193
+          h ^= cps(j + 1); h *= 0x01000193
+          h ^= cps(j + 2); h *= 0x01000193
+          h ^= cps(j + 3); h *= 0x01000193
+          var s = h & cMask
+          var found = false
+          while (!found && cGenArr(s) == cGen) {
+            val o = cSlot(s)
+            if (cps(o) == cps(j) && cps(o + 1) == cps(j + 1) &&
+              cps(o + 2) == cps(j + 2) && cps(o + 3) == cps(j + 3))
+              found = true
+            else s = (s + 1) & cMask
+          }
+          if (found) c4Dup += 1
+          else { cGenArr(s) = cGen; cSlot(s) = j }
+          j += 1
+        }
+      }
+    }
+
     Array(docLength, wc, tokens, symbols, stops, distinctW, dupB,
-      lines, distinctL, nonSpace, upper, digit)
+      lines, distinctL, nonSpace, upper, digit,
+      nospace, cover, c4Total, c4Dup)
   }
 
   val statsUdf = udf { text: String => compute(text) }
@@ -395,6 +585,37 @@ object TextStats {
           .otherwise(lit(1.0) - d(st.getItem(DISTINCT_LINES)) /
             d(st.getItem(LINE_COUNT))))
       case "mean_word_length" => Some(d(st.getItem(NON_SPACE_COUNT)) / d(wc1))
+      // script-adaptive twins: same branch condition and formulas as the
+      // Heuristics Column versions, read from the fused stats fields (the
+      // no-space fields are populated exactly when the branch is taken)
+      case "script_nospace_fraction" => Some(
+        d(st.getItem(NOSPACE_COUNT)) /
+          d(greatest(st.getItem(DOC_LENGTH), lit(1))))
+      case "symbol_ratio_adaptive" => Some {
+        val branch = d(st.getItem(NOSPACE_COUNT)) /
+          d(greatest(st.getItem(DOC_LENGTH), lit(1))) >= lit(0.3)
+        when(branch, d(st.getItem(SYMBOL_COUNT)) /
+          d(greatest(st.getItem(DOC_LENGTH), lit(1))))
+          .otherwise(d(st.getItem(SYMBOL_COUNT)) / d(wc1))
+      }
+      case "stopword_fraction_adaptive" => Some {
+        val branch = d(st.getItem(NOSPACE_COUNT)) /
+          d(greatest(st.getItem(DOC_LENGTH), lit(1))) >= lit(0.3)
+        when(branch, d(st.getItem(NOSPACE_STOP_COVER)) /
+          d(greatest(st.getItem(DOC_LENGTH), lit(1))))
+          .otherwise(d(st.getItem(STOP_HITS)) / d(wc1))
+      }
+      case "repetition_adaptive" => Some {
+        val branch = d(st.getItem(NOSPACE_COUNT)) /
+          d(greatest(st.getItem(DOC_LENGTH), lit(1))) >= lit(0.3)
+        when(branch,
+          when(st.getItem(CHAR4_TOTAL) <= 0, lit(0.0))
+            .otherwise(d(st.getItem(CHAR4_DUP)) / d(st.getItem(CHAR4_TOTAL))))
+          .otherwise(
+            when(st.getItem(WORD_COUNT) === 0, lit(0.0))
+              .otherwise(lit(1.0) - d(st.getItem(DISTINCT_WORDS)) /
+                d(st.getItem(WORD_COUNT))))
+      }
       case "upper_fraction" => Some(d(st.getItem(UPPER_COUNT)) /
         d(greatest(st.getItem(DOC_LENGTH), lit(1))))
       case "digit_fraction" => Some(d(st.getItem(DIGIT_COUNT)) /

@@ -45,6 +45,11 @@ object QualityFilter {
     case "symbol_word_ratio"     => Heuristics.symbolWordRatio(col("text"))
     case "stopword_fraction"     => Heuristics.stopwordFraction(col("text"))
     case "word_repetition_ratio" => Heuristics.wordRepetitionRatio(col("text"))
+    case "script_nospace_fraction" => Heuristics.scriptNoSpaceFraction(col("text"))
+    case "symbol_ratio_adaptive" => Heuristics.symbolRatioAdaptive(col("text"))
+    case "stopword_fraction_adaptive" =>
+      Heuristics.stopwordFractionAdaptive(col("text"))
+    case "repetition_adaptive"   => Heuristics.repetitionAdaptive(col("text"))
     case "dup_2gram_fraction"    => Heuristics.dup2gramFraction(col("text"))
     case "dup_line_fraction"     => Heuristics.dupLineFraction(col("text"))
     case "mean_word_length"      => Heuristics.meanWordLength(col("text"))
@@ -59,9 +64,16 @@ object QualityFilter {
     */
   val defaultRules: Seq[RowRule] = Seq(
     RowRule("min_doc_length", "doc_length", Condition.Ge, Left(100)),
-    RowRule("max_symbol_word_ratio", "symbol_word_ratio", Condition.Le, Left(0.1)),
-    RowRule("min_stopword_fraction", "stopword_fraction", Condition.Ge, Left(0.01)),
-    RowRule("max_word_repetition", "word_repetition_ratio", Condition.Le, Left(0.95)),
+    // round 6: the three word-based rules became script-ADAPTIVE (rule
+    // names frozen — they key check ids, lineage and fail_reasons; only
+    // the measure changed). Word rules read unsegmented zh/ja/th prose as
+    // one giant word and dropped those languages wholesale; the adaptive
+    // measures switch to char-based twins for no-space-script-dominant
+    // documents and are byte-identical to the old measures on every
+    // space-script document (the branch condition is false there).
+    RowRule("max_symbol_word_ratio", "symbol_ratio_adaptive", Condition.Le, Left(0.1)),
+    RowRule("min_stopword_fraction", "stopword_fraction_adaptive", Condition.Ge, Left(0.01)),
+    RowRule("max_word_repetition", "repetition_adaptive", Condition.Le, Left(0.95)),
     RowRule("max_dup_2gram", "dup_2gram_fraction", Condition.Le, Left(0.5)),
     RowRule("max_dup_line_fraction", "dup_line_fraction", Condition.Le, Left(0.3)),
     // band re-frozen for the round-3 interpolated trigram LM (sharper

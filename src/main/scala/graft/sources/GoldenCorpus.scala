@@ -52,6 +52,14 @@ object GoldenCorpus {
     */
   private val extraLangs4 = Array("th")
 
+  /** Round-6 block, appended past index 440: UNSEGMENTED zh/ja/th — the
+    * shape real Common-Crawl pages in no-space scripts actually have (no
+    * fixture pre-segmentation). Clean prose must be KEPT by the
+    * script-adaptive rules; every 10th document in the block is
+    * unsegmented keyword stuffing that repetition_adaptive must DROP.
+    */
+  private val extraLangs5 = Array("zh", "ja", "th")
+
   /** FROZEN fixture vocabularies — a snapshot of the LangId seed corpora
     * as of round 3, deliberately NOT a reference to LangId.seeds: the
     * model's seeds may be enriched as the scorer deepens, and model
@@ -220,7 +228,8 @@ object GoldenCorpus {
   def doc(i: Int): (String, String, String) = {
     val rnd = new scala.util.Random(i.toLong * 7919 + 42)
     val lang =
-      if (i >= 430) extraLangs4((i - 430) % extraLangs4.length)
+      if (i >= 440) extraLangs5((i - 440) % extraLangs5.length)
+      else if (i >= 430) extraLangs4((i - 430) % extraLangs4.length)
       else if (i >= 370) extraLangs3((i - 370) % extraLangs3.length)
       else if (i >= 330) extraLangs2((i - 330) % extraLangs2.length)
       else if (i >= 280) extraLangs((i - 280) % extraLangs.length)
@@ -228,11 +237,23 @@ object GoldenCorpus {
     val ws = words(lang)
     def sentence(n: Int): String =
       (0 until n).map(_ => ws(rnd.nextInt(ws.length))).mkString(" ")
+    // unsegmented prose: words joined with NO spaces; zh/ja get 。 every
+    // 12 words (CJK full stop — a symbol, like real pages), th gets none
+    // (Thai uses no sentence punctuation)
+    def unsegmented(n: Int): String = {
+      val sep = if (lang == "th") "" else "。"
+      (0 until n).map(_ => ws(rnd.nextInt(ws.length)))
+        .grouped(12).map(_.mkString("")).mkString(sep) + sep
+    }
     val cls =
-      if (i >= 280) 14          // clean prose in the round-3/4 languages
+      if (i >= 440) { if ((i - 440) % 10 == 9) 16 else 15 }
+      else if (i >= 280) 14     // clean prose in the round-3/4 languages
       else if (i >= 240) 12 + (i % 2)
       else i % 12
     val text = cls match {
+      case 15 => unsegmented(120 + rnd.nextInt(130))
+      case 16 => // unsegmented keyword stuffing: a short chunk repeated
+        (ws(rnd.nextInt(ws.length)) + ws(rnd.nextInt(ws.length))) * 40
       case 14 => sentence(40 + rnd.nextInt(300))
       case 12 => // boilerplate nav menu: duplicated link rows, no prose
         val items = Array("Home", "About", "Products", "Services", "Blog",
@@ -275,7 +296,7 @@ object GoldenCorpus {
     (s"https://fixture.example.com/doc/$i", text, lang)
   }
 
-  def generate(spark: SparkSession, n: Int = 440): DataFrame = {
+  def generate(spark: SparkSession, n: Int = 470): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     spark.createDataset((0 until n).map(doc))

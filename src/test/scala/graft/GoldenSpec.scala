@@ -92,13 +92,47 @@ class GoldenSpec extends AnyFunSuite {
       codeReasons.contains("min_stopword_fraction"), s"code: $codeReasons")
   }
 
+  test("unsegmented zh/ja/th prose is KEPT; unsegmented stuffing dropped " +
+    "by the char-based repetition twin") {
+    // the round-6 block (idx >= 440) has NO fixture pre-segmentation —
+    // this is the shape real Common-Crawl no-space-script pages have.
+    // Before the script-adaptive rules, every one of these clean docs was
+    // dropped wholesale (stopword fraction ~0 on one giant "word").
+    val v = graft.operators.QualityFilter.run(
+      graft.sources.GoldenCorpus.generate(spark))
+      .select(col("url"), col("keep"), col("fail_reasons"),
+        col("lang"), col("lang_pred")).collect()
+      .map(r => r.getString(0).split("/").last.toInt ->
+        ((r.getBoolean(1), r.getSeq[String](2), r.getString(3),
+          r.getString(4))))
+      .filter(_._1 >= 440)
+    assert(v.length == 30)
+    v.foreach { case (idx, (keep, reasons, lang, langPred)) =>
+      if ((idx - 440) % 10 == 9)
+        assert(!keep && reasons.contains("max_word_repetition"),
+          s"unsegmented stuffing doc $idx not dropped by repetition " +
+            s"(keep=$keep reasons=$reasons)")
+      else {
+        assert(keep, s"unsegmented clean $lang doc $idx dropped " +
+          s"(reasons=$reasons)")
+        // langid needs no segmentation either (char n-grams)
+        assert(langPred == lang,
+          s"unsegmented doc $idx lang_pred=$langPred != $lang")
+      }
+    }
+  }
+
   test("langid accuracy on clean-prose fixture classes is 100%") {
     val v = graft.operators.QualityFilter.run(
       graft.sources.GoldenCorpus.generate(spark))
       .select(col("url"), col("lang"), col("lang_pred")).collect()
     val prose = v.filter { r =>
       val idx = r.getString(0).split("/").last.toInt
-      (idx < 240 && idx % 12 <= 5) || idx >= 280 // incl. round-3 languages
+      // clean-prose classes only: the round-6 unsegmented block keeps its
+      // every-10th keyword-stuffing doc (class 16) out — spam has no
+      // meaningful language label
+      (idx < 240 && idx % 12 <= 5) ||
+        (idx >= 280 && !(idx >= 440 && (idx - 440) % 10 == 9))
     }
     val acc = prose.count(r => r.getString(1) == r.getString(2)).toDouble /
       prose.length

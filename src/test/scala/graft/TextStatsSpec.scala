@@ -26,7 +26,18 @@ class TextStatsSpec extends AnyFunSuite {
     // combining marks (Mn/Mc) are word chars, not symbols: Devanagari
     // matras + nukta, vocalized Arabic harakat (round-5 symbol-class fix)
     "यह घर बहुत बड़ा है और बच्चे स्कूल में हैं",
-    "المَدْرَسَةُ كَبِيرَةٌ جِدًّا هُنَا"
+    "المَدْرَسَةُ كَبِيرَةٌ جِدًّا هُنَا",
+    // unsegmented no-space-script docs (round 6): zh/ja/th prose with no
+    // inter-word spaces, stuffing, soup, and boundary mixes near the 30%
+    // branch threshold
+    "这是一个大的国家我们的生活每天都在变化人们在城市里工作和学习。",
+    "日本の生活はとても便利ですが人々はいつも忙しいと言われています。",
+    "ที่นี่มีคนมากมายและพวกเขาทำงานในเมืองใหญ่ทุกวัน",
+    "便宜买便宜买便宜买便宜买便宜买便宜买便宜买便宜买",
+    "的※一★是☆在◆不■了〓有≡和※人★这☆中◆大■为〓上≡",
+    "mixed latin 和一些中文 just below or above the threshold 的测试",
+    "中文多过拉丁 the 的一是在不了有和人这中大为上个我以要他们",
+    "ののの", "的的", "ん"
   )
 
   test("every stats-derived measure equals its Column twin, bit for bit") {
@@ -44,7 +55,12 @@ class TextStatsSpec extends AnyFunSuite {
       "mean_word_length" -> Heuristics.meanWordLength(col("text")),
       "upper_fraction" -> Heuristics.upperFraction(col("text")),
       "digit_fraction" -> Heuristics.digitFraction(col("text")),
-      "quality_score" -> Heuristics.qualityScore(col("text")))
+      "quality_score" -> Heuristics.qualityScore(col("text")),
+      "script_nospace_fraction" -> Heuristics.scriptNoSpaceFraction(col("text")),
+      "symbol_ratio_adaptive" -> Heuristics.symbolRatioAdaptive(col("text")),
+      "stopword_fraction_adaptive" ->
+        Heuristics.stopwordFractionAdaptive(col("text")),
+      "repetition_adaptive" -> Heuristics.repetitionAdaptive(col("text")))
     measures.foreach { case (name, colTwin) =>
       val rows = df.select(colTwin.as("a"),
         TextStats.measure(name, col("__ts")).get.as("b"),
@@ -118,6 +134,41 @@ class TextStatsSpec extends AnyFunSuite {
       .select(graft.functions.TextScalarExpr(col("text"), "stop_hits"))
       .collect().map(_.getInt(0))
     assert(rows.toSeq == (mixed.map(reference) ++ Seq(0)))
+  }
+
+  test("script-adaptive statics equal independent references " +
+    "(regex class, per-word replace, sliding distinct)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def u(s: String) = UTF8String.fromString(s)
+    // independent formulations, deliberately different in style from the
+    // production walkers — these are the semantics the DuckDB oracle
+    // implements (regexp class count, length-minus-replace coverage,
+    // list_distinct 4-grams)
+    val nsClass = ("[\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}" +
+      "\\x{4E00}-\\x{9FFF}\\x{F900}-\\x{FAFF}\\x{0E01}-\\x{0E4E}]").r
+    def nsRef(t: String): Int = nsClass.findAllIn(t).length
+    def coverRef(t: String): Int = TextStats.noSpaceStopwords.map { w =>
+      t.length - t.replace(w, "").length
+    }.sum
+    def c4Ref(t: String): Double = {
+      val cps = t.codePoints().toArray.toSeq
+      val grams = cps.sliding(4).filter(_.size == 4).toSeq
+      if (grams.isEmpty) 0.0
+      else (grams.size - grams.distinct.size).toDouble / grams.size
+    }
+    docs.filter(_ != null).foreach { t =>
+      assert(TextStats.noSpaceCount(u(t)) == nsRef(t), s"nospace [$t]")
+      assert(TextStats.noSpaceStopCover(u(t)) == coverRef(t), s"cover [$t]")
+      assert(java.lang.Double.compare(
+        TextStats.char4DupFraction(u(t)), c4Ref(t)) == 0, s"char4 [$t]")
+    }
+    // nulls come through the codegen'd expressions as empty
+    val r = Seq[String](null).toDF("text").select(
+      graft.functions.TextScalarExpr(col("text"), "nospace_count"),
+      graft.functions.TextScalarExpr(col("text"), "nospace_stop_cover"),
+      graft.functions.TextScalarExpr(col("text"), "char4_dup_fraction"))
+      .head()
+    assert(r.getInt(0) == 0 && r.getInt(1) == 0 && r.getDouble(2) == 0.0)
   }
 
   test("scrubFast (one-pass UDF) equals the regexp_replace chain, byte for byte") {

@@ -333,11 +333,7 @@ object Dedup {
             lit(numHashes.toDouble)).as("est_jaccard"))
         .distinct()
     } else {
-      val banded = sigs.select(col(keyCol),
-          posexplode(transform(sequence(lit(0), lit(bands - 1)),
-            b => xxhash64(b, slice(col("signature"), b * rows + 1, lit(rows))
-              .cast("string")))).as(Seq("band", "bucket")))
-        .select(col(keyCol), col("band"), col("bucket"))
+      val banded = bandedKeys(df, keyCol, textCol, numHashes, bands, shingleN)
       val buckets = banded.groupBy(col("band"), col("bucket"))
         .agg(array_sort(collect_list(col(keyCol))).as("ms"))
       bucketPairs(buckets, maxBucketSize)
@@ -345,6 +341,23 @@ object Dedup {
           greatest(col("p.a"), col("p.b")).as("key_b"))
         .distinct()
     }
+  }
+
+  /** (key, band, bucket) LSH band keys for each document — the keys-only
+    * banding shared by the batch candidate generator and the streaming
+    * near-dup state store (the streaming operator persists these per
+    * batch so future batches can bucket-join against everything seen).
+    */
+  def bandedKeys(df: DataFrame, keyCol: String, textCol: String,
+                 numHashes: Int = 64, bands: Int = 16,
+                 shingleN: Int = 3): DataFrame = {
+    val rows = numHashes / bands
+    minhashSignatures(df, keyCol, textCol, numHashes, shingleN)
+      .select(col(keyCol),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(b, slice(col("signature"), b * rows + 1, lit(rows))
+            .cast("string")))).as(Seq("band", "bucket")))
+      .select(col(keyCol), col("band"), col("bucket"))
   }
 
   def minhashLshPairs(df: DataFrame, keyCol: String, textCol: String,

@@ -186,52 +186,198 @@ object EventStream {
     spark.table(name)
   }
 
+  /** Read a `batch=N`-partitioned state directory, restricted to batches
+    * BEFORE `batchId` — a re-executed batch (crash between the state
+    * write and the checkpoint commit) must decide against exactly the
+    * state it saw the first time, never against its own partial output.
+    * Missing dir = empty state (schema taken from `like`).
+    */
+  private def priorState(spark: SparkSession, dir: String, batchId: Long,
+                         like: DataFrame): DataFrame =
+    if (new java.io.File(dir).exists())
+      spark.read.parquet(dir).filter(col("batch") < batchId)
+        .drop("batch")
+    else like.limit(0)
+
   /** STREAMING CONTENT DEDUP: first-seen-wins exact dedup over a pages
     * stream by content fingerprint, emitting an explicit keep DECISION
     * per document — `dropDuplicates` silently discards losers, but the
-    * corpus pipeline's lineage/metrics need the keep=false rows. Keyed
-    * state via flatMapGroupsWithState: one winning url per distinct
-    * fingerprint (~50 bytes), sharded across executors by fingerprint at
-    * cluster scale — O(distinct texts) state, the streaming analog of the
-    * batch collapse stage. Semantics: FIRST batch seen wins across
-    * batches (streams can't revisit history); the minimum url wins within
-    * a batch, matching the batch operator's min-key rule, so a
-    * single-batch stream reproduces `Dedup.exact` exactly.
+    * corpus pipeline's lineage/metrics need the keep=false rows.
+    *
+    * State = a winners TABLE (`<outDir>/_winners/batch=N`: fingerprint ->
+    * winning url, appended per batch), not operator memory: the previous
+    * flatMapGroupsWithState formulation materialized every url of a
+    * fingerprint group into one in-memory array per batch, so a hot
+    * fingerprint — all empty/null texts share md5('') — concentrated a
+    * whole crawl's empties on ONE task (round-5 ADVICE finding). Here
+    * every step is a shuffle aggregation or join: min(url) per
+    * fingerprint has a map-side partial combiner, so the hot key costs
+    * one row per input partition, and the state is O(distinct texts) on
+    * storage with each batch appending only ITS new fingerprints.
+    *
+    * Semantics (unchanged, ConfigAndStreamingSpec): FIRST batch seen wins
+    * across batches (streams can't revisit history); the minimum url wins
+    * within a batch, so a single-batch stream reproduces `Dedup.exact`
+    * exactly — a url equal to an earlier batch's winner still loses (a
+    * re-crawl of the same page is a duplicate).
+    *
+    * Restart safety: source offsets live in the checkpoint; winners and
+    * decisions are written to batch-keyed dirs (overwrite = idempotent
+    * re-execution), and a re-executed batch reads only winners from
+    * batches before it, so its decisions are byte-identical.
     */
   def streamingContentDedup(spark: SparkSession, pagesDir: String,
                             outDir: String,
                             checkpointDir: String): DataFrame = {
-    import spark.implicits._
-    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    val decisions = spark.readStream.schema(graft.sources.Pages.schema)
+    val winnersDir = s"$outDir/_winners"
+    val q = spark.readStream.schema(graft.sources.Pages.schema)
       .parquet(pagesDir)
-      .select(col("url"), md5(coalesce(col("text"), lit(""))).as("fp"))
-      .as[(String, String)]
-      .groupByKey(_._2)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (fp: String, rows: Iterator[(String, String)],
-         state: GroupState[String]) => {
-          val urls = rows.map(_._1).toArray.sorted
-          state.getOption match {
-            case Some(_) =>
-              // a winner exists from an earlier batch: everything loses
-              urls.iterator.map(u => (u, fp, false))
-            case None =>
-              val winner = urls.head
-              state.update(winner)
-              urls.iterator.map(u => (u, fp, u == winner))
-          }
-        })
-      .toDF("url", "fingerprint", "keep")
-    // checkpointed fingerprint state SURVIVES restarts: a resumed query
-    // keeps honoring winners chosen before the crash (the streaming
-    // analog of the batch DAG's committed reps stage). Batch-keyed
-    // parquet dirs give exactly-once delivery like streamingQualityFilter.
-    val q = decisions.writeStream.outputMode("append")
+      .select(col("url"), md5(coalesce(col("text"), lit(""))).as("fingerprint"))
+      .writeStream.outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+      .foreachBatch { (batch0: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                        batchId: Long) =>
-        batch.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        val batch = batch0.persist()
+        val spark2 = batch.sparkSession
+        val newWinners = batch.groupBy(col("fingerprint"))
+          .agg(min(col("url")).as("winner"))
+        val prior = priorState(spark2, winnersDir, batchId, newWinners)
+        val decisions = batch
+          .join(prior.select(col("fingerprint"),
+              col("winner"), lit(false).as("is_new"))
+            .unionByName(newWinners
+              .join(prior.select("fingerprint"), Seq("fingerprint"),
+                "left_anti")
+              .select(col("fingerprint"), col("winner"),
+                lit(true).as("is_new"))),
+            Seq("fingerprint"))
+          .select(col("url"), col("fingerprint"),
+            (col("is_new") && col("url") === col("winner")).as("keep"))
+        decisions.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        newWinners.join(prior.select("fingerprint"), Seq("fingerprint"),
+            "left_anti")
+          .write.mode("overwrite").parquet(s"$winnersDir/batch=$batchId")
+        batch.unpersist()
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(outDir)
+  }
+
+  /** STREAMING NEAR-DUP DEDUP (round 6): the streaming ingest twin of the
+    * batch MinHash+LSH pipeline — a document arriving later that is
+    * near-duplicate (exact shingle Jaccard >= threshold) of ANYTHING seen
+    * earlier is dropped, not just byte-equal content.
+    *
+    * Per micro-batch, against two batch-keyed state tables:
+    *   _bands/batch=N  (url, band, bucket)      — LSH keys of all seen docs
+    *   _seen/batch=N   (url, shs, cluster_id)   — shingle sets + cluster
+    *
+    *   1. candidates = new-vs-seen band-bucket join + new-vs-new LSH
+    *      within the batch (same signatures/banding as the batch op:
+    *      Dedup.bandedKeys)
+    *   2. every candidate is VERIFIED with the exact shingle Jaccard —
+    *      LSH proposes, it never decides (the batch op's rule)
+    *   3. connected components over the verified new-new edges
+    *      (Dedup.connectedComponents — bounded by the batch, not the
+    *      corpus); a component linked to any seen doc is dropped
+    *      wholesale and adopts the seen cluster's id (min across links);
+    *      in an unlinked component the minimum url wins — the batch
+    *      min-key rule
+    *
+    * Fed the same corpus in url order, decisions MATCH the batch
+    * `minhashLshDedup` + `dedupDecisions` pipeline (spec-pinned): each
+    * edge of the batch dup graph is discovered when its later endpoint
+    * arrives, so the incremental closure equals the batch closure.
+    * Honest boundary: a document near TWO different already-decided
+    * clusters would MERGE them in batch; an append-only stream cannot
+    * retract the younger cluster's keeper, so the bridging doc is dropped
+    * (correct) but the two keepers both stand — divergence is confined to
+    * bridge events, which need the later doc to overlap two disjoint
+    * earlier clusters at >= threshold.
+    *
+    * Scale: state joins are shuffle joins against O(seen x bands) keys
+    * and O(seen) shingle sets on storage — the price of re-checkable
+    * history a stream cannot re-read; per-batch CC is bounded by the
+    * micro-batch. Re-execution idempotency as in streamingContentDedup.
+    */
+  def streamingNearDupDedup(spark: SparkSession, pagesDir: String,
+                            outDir: String, checkpointDir: String,
+                            jaccardThreshold: Double = 0.8,
+                            numHashes: Int = 64, bands: Int = 16,
+                            shingleN: Int = 3): DataFrame = {
+    import graft.operators.Dedup
+    val bandsDir = s"$outDir/_bands"
+    val seenDir = s"$outDir/_seen"
+    val q = spark.readStream.schema(graft.sources.Pages.schema)
+      .parquet(pagesDir)
+      .select(col("url"), col("text"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch0: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        val batch = batch0.persist()
+        val spark2 = batch.sparkSession
+        val newBands = Dedup.bandedKeys(batch, "url", "text",
+          numHashes, bands, shingleN).persist()
+        val newShs = batch.select(col("url"),
+          Dedup.shingles(col("text"), shingleN).as("shs")).persist()
+        val priorBands = priorState(spark2, bandsDir, batchId, newBands)
+        val priorSeen = priorState(spark2, seenDir, batchId,
+          newShs.withColumn("cluster_id", col("url")))
+
+        def jac(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+          val inter = size(array_intersect(a, b)).cast("double")
+          inter / (size(a) + size(b) - inter).cast("double")
+        }
+        // new-vs-seen: bucket join, then exact-verify against the stored
+        // shingle sets; keep the minimum seen cluster id per new url
+        val seenLinks = newBands
+          .join(priorBands
+              .select(col("url").as("seen_url"), col("band"), col("bucket")),
+            Seq("band", "bucket"))
+          .select(col("url"), col("seen_url")).distinct()
+          .join(newShs, Seq("url"))
+          .join(priorSeen.select(col("url").as("seen_url"),
+            col("shs").as("seen_shs"), col("cluster_id")), Seq("seen_url"))
+          .filter(jac(col("shs"), col("seen_shs")) >= jaccardThreshold)
+          .groupBy(col("url"))
+          .agg(min(col("cluster_id")).as("seen_cluster"))
+        // new-vs-new: LSH pairs within the batch, exact-verified
+        val nnPairs = newBands
+          .join(newBands.select(col("url").as("url_b"), col("band"),
+            col("bucket")), Seq("band", "bucket"))
+          .filter(col("url") < col("url_b"))
+          .select(col("url").as("key_a"), col("url_b").as("key_b")).distinct()
+          .join(newShs.select(col("url").as("key_a"), col("shs").as("sa")),
+            Seq("key_a"))
+          .join(newShs.select(col("url").as("key_b"), col("shs").as("sb")),
+            Seq("key_b"))
+          .filter(jac(col("sa"), col("sb")) >= jaccardThreshold)
+          .select(col("key_a"), col("key_b"))
+        // components over the batch's verified edges; singletons label
+        // themselves
+        val comp = batch.select(col("url").as("node"))
+          .join(Dedup.connectedComponents(nnPairs), Seq("node"), "left")
+          .select(col("node").as("url"),
+            coalesce(col("cluster_id"), col("node")).as("comp"))
+        // a component linked to seen history adopts the seen cluster (min
+        // across all links of all members); otherwise the component min
+        // url is the cluster id and its owner the keeper
+        val compSeen = comp.join(seenLinks, Seq("url"), "left")
+          .groupBy(col("comp"))
+          .agg(min(col("seen_cluster")).as("comp_seen"))
+        val decisions = comp.join(compSeen, Seq("comp"))
+          .select(col("url"),
+            coalesce(col("comp_seen"), col("comp")).as("cluster_id"))
+          .withColumn("keep", col("cluster_id") === col("url"))
+        decisions.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        newBands.write.mode("overwrite").parquet(s"$bandsDir/batch=$batchId")
+        newShs.join(decisions.select("url", "cluster_id"), Seq("url"))
+          .write.mode("overwrite").parquet(s"$seenDir/batch=$batchId")
+        newBands.unpersist(); newShs.unpersist(); batch.unpersist()
         ()
       }
       .start()

@@ -397,6 +397,70 @@ class StreamingSpec extends AnyFunSuite {
     assert(all == d1 ++ Map("u1" -> false, "u2" -> true, "u8" -> false))
   }
 
+  test("streaming NEAR-dup dedup: a later near-duplicate (jaccard >= 0.8, " +
+    "not byte-equal) is dropped across a restart; decisions agree with " +
+    "the batch LSH pipeline") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("snd").toString
+    def pages(rows: Seq[(String, String)]) =
+      rows.toDF("url", "text")
+        .select(col("url"),
+          lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).as("warc_ts"),
+          lit(null).cast("binary").as("html"), col("text"),
+          lit("en").as("lang"))
+    // 40-word docs: editing the LAST word flips 3 of 38 shingles ->
+    // jaccard 35/41 ~ 0.854 >= 0.8 (near-dup, NOT byte-equal); disjoint
+    // vocabularies keep unrelated docs at jaccard 0
+    def doc(prefix: String, n: Int, last: String): String =
+      ((0 until n - 1).map(k => s"$prefix$k") :+ last).mkString(" ")
+    val a = doc("alpha", 40, "alpha39")
+    val aNear = doc("alpha", 40, "CHANGED") // near-dup of a
+    val b = doc("beta", 40, "beta39")
+    val bNear = doc("beta", 40, "EDITED")
+    val c = doc("gamma", 40, "gamma39")
+
+    // batch 1: a + its near-dup in the SAME batch, plus b
+    val batch1 = Seq("u1" -> a, "u5" -> aNear, "u3" -> b)
+    pages(batch1).write.parquet(s"$tmp/in")
+    val d1 = graft.streaming.EventStream.streamingNearDupDedup(spark,
+      s"$tmp/in", s"$tmp/out", s"$tmp/ckpt", jaccardThreshold = 0.8)
+      .select("url", "keep")
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(d1 == Map("u1" -> true, "u5" -> false, "u3" -> true))
+
+    // batch 2 AFTER A RESTART (new invocation, same checkpoint + state
+    // dirs): a near-dup of b arrives later -> dropped against the stored
+    // shingle state, NOT byte-equal; an unrelated doc is kept
+    val batch2 = Seq("u7" -> bNear, "u9" -> c)
+    pages(batch2).write.mode("append").parquet(s"$tmp/in")
+    val all = graft.streaming.EventStream.streamingNearDupDedup(spark,
+      s"$tmp/in", s"$tmp/out", s"$tmp/ckpt", jaccardThreshold = 0.8)
+      .select("url", "keep")
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(all == d1 ++ Map("u7" -> false, "u9" -> true))
+
+    // batch-vs-streaming agreement: the batch pipeline over the SAME
+    // corpus lands on the same keep set
+    val corpus = pages(batch1 ++ batch2)
+    val batchKeep = graft.operators.Dedup.dedupDecisions(corpus,
+        graft.operators.Dedup.minhashLshDedup(corpus, "url", "text",
+          jaccardThreshold = 0.8), "url")
+      .select("url", "keep")
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(all == batchKeep)
+
+    // exact duplicates flow through the same path (jaccard 1.0): a
+    // byte-equal copy of a kept doc arriving in batch 3 is dropped
+    pages(Seq("u0" -> c)).write.mode("append").parquet(s"$tmp/in")
+    val withExact = graft.streaming.EventStream.streamingNearDupDedup(spark,
+      s"$tmp/in", s"$tmp/out", s"$tmp/ckpt", jaccardThreshold = 0.8)
+      .select("url", "keep")
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    // u0 < u9 but u9 was seen FIRST — first-seen wins in the stream
+    assert(withExact == all ++ Map("u0" -> false))
+  }
+
   test("stateful streaming dedup equals batch distinct counts") {
     import org.apache.spark.sql.functions._
     val streamed = EventStream.streamingDedup(spark, eventsDir, "dedup_test")

@@ -163,16 +163,13 @@ object Heuristics {
 
   /** Fraction of words that are stopwords — low coverage flags non-prose.
     *
-    * BOUNDARY: word-based measures (this, word_count, repetition ratios)
-    * assume whitespace-delimited input. Scripts written WITHOUT
-    * inter-word spaces (zh, ja, th) must be segmented upstream before
-    * the word rules discriminate — unsegmented prose in those scripts
-    * reads as one giant "word" with stopword fraction ~0 and would be
-    * dropped by min_stopword_fraction. Language ID has no such
-    * requirement (char n-grams, pinned on unsegmented Thai); a
-    * production deployment for unsegmented corpora plugs a segmenter in
-    * front or relaxes the word rules per-script. The fixture corpora use
-    * the segmented shape for exactly this reason.
+    * BOUNDARY: word-based measures assume whitespace-delimited input;
+    * unsegmented zh/ja/th prose reads as one giant "word" with stopword
+    * fraction ~0. The RULES therefore use [[stopwordFractionAdaptive]]
+    * (and the other adaptive variants below), which switch to char-based
+    * twins on no-space-script-dominant documents — this word-based
+    * measure remains for space-script corpora and as the frozen
+    * quality_score ingredient.
     */
   def stopwordFraction(text: Column): Column = {
     // membership via the static case-folded O(1) hash table shared with

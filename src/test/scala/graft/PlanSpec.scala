@@ -110,6 +110,37 @@ class PlanSpec extends AnyFunSuite {
       s"scan reads unreferenced columns: $rs")
   }
 
+  test("TextScalarExpr counters (stop_hits + script-adaptive twins) stay " +
+    "inside whole-stage codegen with the scan pruned") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // NOTE scalar-exprs only: any words()-based Column twin contains a
+    // higher-order lambda (ArrayFilter), which is CodegenFallback and
+    // excludes the whole ProjectExec from whole-stage codegen — that is
+    // a long-standing property of the lambda twins (the production path
+    // is the fused expression), and exactly why these counters are
+    // native expressions with doGenCode rather than lambdas
+    val q = docs.select(col("doc_id"),
+      graft.functions.TextScalarExpr(col("text"), "stop_hits").as("sh"),
+      graft.functions.Heuristics.scriptNoSpaceFraction(col("text"))
+        .as("nsf"),
+      graft.functions.TextScalarExpr(col("text"), "nospace_stop_cover")
+        .as("cov"),
+      graft.functions.TextScalarExpr(col("text"), "char4_dup_fraction")
+        .as("c4"))
+    val plan = q.queryExecution.executedPlan.toString
+    // the project holding the static-call counters is codegen'd — a
+    // fallback to interpreted eval would show a bare (non-starred)
+    // Project
+    assert("\\*\\(\\d+\\) Project \\[[^\\n]*stop_hits".r
+      .findFirstIn(plan).isDefined,
+      s"text scalar fell out of codegen:\n${plan.take(2000)}")
+    // only the referenced columns are read
+    val rs = "ReadSchema: [^\\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(rs.contains("text") && !rs.contains("lang") && !rs.contains("n_chars"),
+      s"scan reads unreferenced columns: $rs")
+  }
+
   test("filter AFTER the pipeline on a passthrough column reaches the " +
     "scan's PushedFilters (the deterministic-flag removal payoff)") {
     val pages = graft.sources.Pages.load(spark, dir)

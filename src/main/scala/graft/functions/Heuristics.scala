@@ -100,7 +100,13 @@ object Heuristics {
   def words(text: Column): Column =
     filter(split(coalesce(text, lit("")), "\\s+"), w => length(w) > 0)
 
-  def wordCount(text: Column): Column = size(words(text))
+  /** Same \s+-split count, but as a native codegen'd scalar: the lambda
+    * `size(words(text))` contains an ArrayFilter (CodegenFallback) that
+    * throws the whole enclosing project out of whole-stage codegen, and
+    * this count is the denominator of every ratio measure. Value parity
+    * with the lambda twin is property-pinned (TextStatsSpec).
+    */
+  def wordCount(text: Column): Column = TextScalarExpr(text, "word_count")
 
   /** Count of "tokens" under a BPE-ish pre-tokenizer: letter runs, digit
     * runs, and single non-alphanumeric glyphs — the usual byte-pair

@@ -63,6 +63,7 @@ object TextScalarExpr {
 
   val fns: Map[String, Spec] = Map(
     "stop_hits" -> Spec("stopHits", IntegerType, TextStats.stopHits _),
+    "word_count" -> Spec("wordCount", IntegerType, TextStats.wordCount _),
     "nospace_count" -> Spec("noSpaceCount", IntegerType,
       TextStats.noSpaceCount _),
     "nospace_stop_cover" -> Spec("noSpaceStopCover", IntegerType,

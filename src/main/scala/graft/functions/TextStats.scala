@@ -176,6 +176,26 @@ object TextStats {
     hits
   }
 
+  /** Word count by the same `\s+`-split-drop-empties rule as the Column
+    * twin — exposed as a native scalar because the lambda formulation
+    * (`size(filter(split(...)))`) contains an ArrayFilter, which is
+    * CodegenFallback and throws the WHOLE enclosing ProjectExec out of
+    * whole-stage codegen; this denominator appears in every ratio
+    * measure, so the lambda version poisoned every Column-twin project.
+    */
+  def wordCount(text: org.apache.spark.unsafe.types.UTF8String): Int = {
+    val t = if (text == null) "" else text.toString
+    var wc = 0
+    var inWord = false
+    var i = 0
+    while (i < t.length) {
+      if (isAsciiSpace(t.charAt(i))) inWord = false
+      else if (!inWord) { wc += 1; inWord = true }
+      i += 1
+    }
+    wc
+  }
+
   // ---- standalone script-adaptive counters (Column-twin backends via
   // TextScalarExpr; the fused pass computes the same values in its
   // post-pass). Each is evaluated lazily behind the no-space branch in a

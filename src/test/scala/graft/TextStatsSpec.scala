@@ -128,6 +128,11 @@ class TextStatsSpec extends AnyFunSuite {
     mixed.foreach { t =>
       assert(TextStats.stopHitsStr(t) == reference(t),
         s"stopHits mismatch on [$t]")
+      // the native word counter equals the \s+-split reference too (it
+      // replaced the ArrayFilter lambda as every ratio's denominator)
+      assert(TextStats.wordCount(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t)) ==
+        t.split("\\s+").count(_.nonEmpty), s"wordCount mismatch on [$t]")
     }
     // and the codegen'd expression agrees end-to-end, null included
     val rows = (mixed ++ Seq(null)).toDF("text")

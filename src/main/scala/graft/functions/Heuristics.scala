@@ -245,13 +245,13 @@ object Heuristics {
     when(inNoSpaceBranch(text), TextScalarExpr(text, "char4_dup_fraction"))
       .otherwise(wordRepetitionRatio(text))
 
-  /** 1 - distinct/total words: repetition (spammy keyword stuffing). */
-  def wordRepetitionRatio(text: Column): Column = {
-    val n = wordCount(text)
-    when(n === 0, lit(0.0)).otherwise(
-      lit(1.0) - size(array_distinct(words(text))).cast(DoubleType) /
-        n.cast(DoubleType))
-  }
+  /** 1 - distinct/total words: repetition (spammy keyword stuffing).
+    * Native scalar (codegen'd) — the array_distinct-over-split lambda was
+    * the last CodegenFallback expression in the text_quality projection;
+    * value parity with the lambda twin is property-pinned.
+    */
+  def wordRepetitionRatio(text: Column): Column =
+    TextScalarExpr(text, "word_repetition")
 
   /** 1 - distinct/total non-blank lines: duplicated-line spam. */
   def dupLineFraction(text: Column): Column = {

@@ -64,6 +64,8 @@ object TextScalarExpr {
   val fns: Map[String, Spec] = Map(
     "stop_hits" -> Spec("stopHits", IntegerType, TextStats.stopHits _),
     "word_count" -> Spec("wordCount", IntegerType, TextStats.wordCount _),
+    "word_repetition" -> Spec("wordRepetition", DoubleType,
+      TextStats.wordRepetition _),
     "nospace_count" -> Spec("noSpaceCount", IntegerType,
       TextStats.noSpaceCount _),
     "nospace_stop_cover" -> Spec("noSpaceStopCover", IntegerType,

@@ -196,6 +196,29 @@ object TextStats {
     wc
   }
 
+  /** 1 - distinct/total words (0.0 for empty texts) — the last lambda in
+    * the text_quality projection (`array_distinct` over the split), made
+    * native for the same CodegenFallback reason as [[wordCount]].
+    * Distinctness is exact char equality on substrings, identical to
+    * array_distinct over the `\s+` split and to DuckDB list_distinct.
+    */
+  def wordRepetition(text: org.apache.spark.unsafe.types.UTF8String): Double = {
+    val t = if (text == null) "" else text.toString
+    val seen = new java.util.HashSet[String]()
+    var wc = 0
+    var i = 0
+    while (i < t.length) {
+      if (isAsciiSpace(t.charAt(i))) i += 1
+      else {
+        val ws = i
+        while (i < t.length && !isAsciiSpace(t.charAt(i))) i += 1
+        wc += 1
+        seen.add(t.substring(ws, i))
+      }
+    }
+    if (wc == 0) 0.0 else 1.0 - seen.size.toDouble / wc.toDouble
+  }
+
   // ---- standalone script-adaptive counters (Column-twin backends via
   // TextScalarExpr; the fused pass computes the same values in its
   // post-pass). Each is evaluated lazily behind the no-space branch in a

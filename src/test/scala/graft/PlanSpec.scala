@@ -139,6 +139,18 @@ class PlanSpec extends AnyFunSuite {
     val rs = "ReadSchema: [^\\n]*".r.findFirstIn(plan).getOrElse("")
     assert(rs.contains("text") && !rs.contains("lang") && !rs.contains("n_chars"),
       s"scan reads unreferenced columns: $rs")
+    // and the FULL driver text_quality query — 11 measure columns — is
+    // one codegen'd project end-to-end: after word_count and
+    // word_repetition went native, no CodegenFallback lambda remains in
+    // its projection (this was a bare Project before round 6)
+    val tq = SparkEntry.queries("text_quality")(spark, dir)
+    tq.collect() // finalize the AdaptiveSparkPlan so codegen stages show
+    // AQE prints Final AND Initial plans; judge only the final one
+    val tqPlan = tq.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert("\\*\\(\\d+\\) Project".r.findFirstIn(tqPlan).isDefined &&
+      !"(?m)^\\s*\\+?-? ?Project ".r.findFirstIn(tqPlan).isDefined,
+      s"text_quality projection fell out of codegen:\n${tqPlan.take(2000)}")
   }
 
   test("filter AFTER the pipeline on a passthrough column reaches the " +

@@ -133,6 +133,14 @@ class TextStatsSpec extends AnyFunSuite {
       assert(TextStats.wordCount(
         org.apache.spark.unsafe.types.UTF8String.fromString(t)) ==
         t.split("\\s+").count(_.nonEmpty), s"wordCount mismatch on [$t]")
+      // ... and the native repetition ratio equals the split+distinct
+      // reference, bit for bit (same IEEE 1.0 - distinct/total)
+      val wsRef = t.split("\\s+").filter(_.nonEmpty)
+      val repRef = if (wsRef.isEmpty) 0.0
+        else 1.0 - wsRef.distinct.length.toDouble / wsRef.length.toDouble
+      assert(java.lang.Double.compare(TextStats.wordRepetition(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t)), repRef) == 0,
+        s"wordRepetition mismatch on [$t]")
     }
     // and the codegen'd expression agrees end-to-end, null included
     val rows = (mixed ++ Seq(null)).toDF("text")

@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.plans._
 import graft.functions.{Heuristics, Scrub}
-import graft.operators.{Dedup, Multimodal, QualityFilter, Similarity}
+import graft.operators.{Curation, Dedup, Multimodal, QualityFilter, Similarity}
 import graft.sources.Pages
 import graft.streaming.EventStream
 
@@ -371,6 +371,23 @@ object SparkEntry {
     "dedup_ngram_inverted" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(tp(s, dir, "documents"), "doc_id", "text",
         n = 3, threshold = 0.5)),
+
+    // ---- corpus curation ----
+    // benchmark decontamination: the "eval set" is a deterministic slice
+    // of the corpus itself (doc_id % 50 == 0) so the gate needs no
+    // external data; grams are the pinned 3-word shingle twin
+    "decontaminate" -> ((s, dir) => {
+      val docs = tp(s, dir, "documents")
+      Curation.decontaminate(
+        docs, docs.filter(col("doc_id") % 50 === 0), "doc_id", "text")
+    }),
+
+    // deterministic per-language token-budget sampler: keep-rate =
+    // min(1, 2000 / lang_token_total), membership = first 32 md5 bits of
+    // the key as a fraction of 2^32 — both re-derivable in SQL
+    "sample_budget" -> ((s, dir) =>
+      Curation.sampleByTokenBudget(tp(s, dir, "documents"),
+        "doc_id", "text", "lang", budgetTokens = 2000L)),
 
     // ---- similarity search over embeddings ----
     "ann_topk" -> ((s, dir) => {
@@ -1166,6 +1183,41 @@ object SparkEntry {
          |  inter::DOUBLE / (na + nb - inter)::DOUBLE AS jaccard
          |FROM pairs
          |WHERE inter::DOUBLE / (na + nb - inter)::DOUBLE >= 0.5""".stripMargin,
+
+    // shingles() dedups per document, so count(*) after the bench probe
+    // is the distinct-overlap count on both engines
+    "decontaminate" ->
+      s"""WITH d AS (SELECT doc_id, $docShingles AS shs FROM documents),
+         |bench AS (SELECT DISTINCT unnest(shs) AS gram FROM d
+         |          WHERE doc_id % 50 = 0),
+         |dg AS (SELECT doc_id, unnest(shs) AS gram FROM d),
+         |ov AS (SELECT dg.doc_id, count(*)::BIGINT AS overlap_count
+         |       FROM dg JOIN bench USING (gram) GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(ov.overlap_count, 0)::BIGINT AS overlap_count,
+         |  coalesce(ov.overlap_count, 0) > 0 AS contaminated
+         |FROM d LEFT JOIN ov USING (doc_id)""".stripMargin,
+
+    // keep iff (first 32 md5 bits of the key)/2^32 < min(1, 2000/total):
+    // hash32/2^32 is exact in a double and 2000.0/total is the same IEEE
+    // division of the same integers Spark performs, so the boolean is
+    // bit-deterministic across engines
+    "sample_budget" ->
+      s"""WITH d AS (SELECT doc_id, coalesce(lang, '') AS stratum,
+         |             len($docWords)::BIGINT AS token_count FROM documents),
+         |tot AS (SELECT stratum, sum(token_count)::BIGINT AS stratum_tokens
+         |        FROM d GROUP BY 1),
+         |h AS (SELECT d.*, tot.stratum_tokens,
+         |        list_reduce(list_prepend(0::BIGINT,
+         |          list_transform(range(1, 9), i ->
+         |            (strpos('0123456789abcdef',
+         |                    md5(d.doc_id::VARCHAR)[i:i]) - 1)::BIGINT)),
+         |          (acc, v) -> acc * 16 + v) AS h32
+         |      FROM d JOIN tot USING (stratum))
+         |SELECT doc_id, stratum, token_count,
+         |  (h32::DOUBLE / 4294967296.0) <
+         |    least(1.0, 2000.0 / stratum_tokens::DOUBLE) AS sampled
+         |FROM h""".stripMargin,
 
 
     "multimodal_meta" ->

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.Heuristics
+
+/** Corpus-curation operators that sit between filtering/dedup and the
+  * final training mix: benchmark decontamination and deterministic
+  * token-budget sampling. Like everything else in this engine they are
+  * deterministic (hash-seeded, no RNG at run time) and shaped for the
+  * 10^12-document case, not the fixture corpus:
+  *
+  *  - decontaminate: the eval/benchmark gram set is small by nature
+  *    (eval suites are ~10^5-10^6 grams, the corpus is ~10^12 docs), so
+  *    it is broadcast and the corpus side never shuffles its grams —
+  *    the only shuffle is the per-doc overlap count over the MATCHED
+  *    grams, which is tiny (most documents are clean).
+  *  - sampleByTokenBudget: no per-stratum total order (a cumulative-sum
+  *    window would sort each language on one task — the big-language
+  *    skew killer). Instead: one aggregation for per-stratum token
+  *    totals (broadcast back), then a stateless keep-if-hash-below-rate
+  *    map, the same two-pass shape production samplers use.
+  */
+object Curation {
+
+  /** Flag documents that share at least one word n-gram with a benchmark
+    * set (train/test decontamination — the standard guard against eval
+    * leakage in a pretraining corpus; see weiser's dataset-vs-dataset
+    * check fan-out, /root/reference/weiser/checks/base.py, for the
+    * reference's closest analogue: a declarative cross-dataset measure).
+    *
+    * Gram semantics are exactly [[Dedup.shingles]] (distinct word
+    * n-grams; <n words collapse to the whole text) so the DuckDB oracle
+    * reuses the pinned shingle twin. Output: one row per input document
+    * with `overlap_count` (distinct doc grams present in the benchmark
+    * gram set) and `contaminated` (overlap_count > 0).
+    *
+    * Scale: `benchmark` grams are deduplicated then broadcast — the
+    * corpus side is a scan -> explode -> broadcast-hash semi-probe with
+    * NO shuffle of document grams; only matched grams (rare) reach the
+    * per-doc count shuffle, and the final join back to the corpus is a
+    * left join on the key, partial-aggregated map-side. If a benchmark
+    * ever outgrew the broadcast threshold the same plan minus the
+    * explicit `broadcast()` hint degrades to a shuffled semi-join —
+    * callers with a genuinely huge contamination reference should hash
+    * grams to longs first (the gram strings never need to survive the
+    * join).
+    */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame,
+                    keyCol: String, textCol: String,
+                    n: Int = 3): DataFrame = {
+    val benchGrams = benchmark
+      .select(explode(Dedup.shingles(col(textCol), n)).as("gram"))
+      .distinct()
+    val docGrams = docs
+      .select(col(keyCol), explode(Dedup.shingles(col(textCol), n)).as("gram"))
+    // shingles() already dedups grams per document, so count(*) after the
+    // probe IS the distinct-overlap count — no count(distinct) shuffle.
+    val overlaps = docGrams
+      .join(broadcast(benchGrams), Seq("gram"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("overlap_count"))
+    docs.select(col(keyCol))
+      .join(overlaps, Seq(keyCol), "left")
+      .select(col(keyCol),
+        coalesce(col("overlap_count"), lit(0L)).as("overlap_count"),
+        (coalesce(col("overlap_count"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** Deterministic stratified sampling to a per-stratum token budget.
+    *
+    * Every stratum (e.g. language) gets `keep rate = min(1, budget /
+    * stratum_token_total)`; a document is kept iff the first 32 bits of
+    * md5(key) — as a fraction of 2^32 — fall below its stratum's rate.
+    * Expected kept tokens per stratum ≈ budget, and membership is a pure
+    * function of (key, stratum totals), so reruns, resumes and the
+    * DuckDB oracle all agree bit-for-bit: hash32/2^32 is exact in a
+    * double (numerator < 2^32, power-of-two denominator) and
+    * budget/total is the same IEEE division of the same integers on
+    * both engines.
+    *
+    * Token counts use the engine's word counter ([[Heuristics.wordCount]],
+    * native codegen'd, \s+-split semantics shared with the docWords
+    * oracle twin).
+    *
+    * Scale: ONE aggregation produces the per-stratum totals (strata
+    * number in the dozens — broadcast back), then a stateless
+    * scan -> project decides membership. No window function, no
+    * per-stratum total order, so a stratum with 90% of the corpus costs
+    * nothing extra (contrast: a cumulative-sum-until-budget sampler
+    * sorts that stratum on one task). The two passes over the input are
+    * the irreducible minimum for an exact-total rate.
+    */
+  def sampleByTokenBudget(docs: DataFrame, keyCol: String,
+                          textCol: String, stratumCol: String,
+                          budgetTokens: Long): DataFrame = {
+    val withTokens = docs.select(
+      col(keyCol),
+      coalesce(col(stratumCol), lit("")).as("stratum"),
+      Heuristics.wordCount(col(textCol)).cast(LongType).as("token_count"))
+    val totals = withTokens.groupBy(col("stratum"))
+      .agg(sum(col("token_count")).as("stratum_tokens"))
+    val hash32 = conv(
+      substring(md5(col(keyCol).cast(StringType).cast(BinaryType)), 1, 8),
+      16, 10).cast(LongType)
+    withTokens
+      .join(broadcast(totals), Seq("stratum"))
+      .select(col(keyCol), col("stratum"), col("token_count"),
+        ((hash32.cast(DoubleType) / lit(4294967296.0)) <
+          least(lit(1.0),
+            lit(budgetTokens.toDouble) /
+              col("stratum_tokens").cast(DoubleType))).as("sampled"))
+  }
+}

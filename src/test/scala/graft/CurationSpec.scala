@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Curation
+
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- decontaminate ----
+
+  private lazy val corpus = Seq(
+    (0L, "alpha beta gamma delta epsilon zeta"),     // benchmark member
+    (1L, "alpha beta gamma delta epsilon zeta"),     // exact copy -> all grams
+    (2L, "intro words then alpha beta gamma closing"), // one shared gram
+    (3L, "totally unrelated text about spark plans and codegen stages"),
+    (4L, "tiny doc"),                                // <3 words: whole-text gram
+    (5L, "tiny doc")                                 // copies the whole-text gram
+  ).toDF("doc_id", "text")
+
+  test("decontaminate flags gram overlap with the benchmark slice") {
+    val bench = corpus.filter(col("doc_id") === 0 || col("doc_id") === 4)
+    val r = Curation.decontaminate(corpus, bench, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getBoolean(2)))
+      .toMap
+    // doc 0/1: 4 grams of a 6-word text, all in the bench set
+    assert(r(0L) == (4L, true))
+    assert(r(1L) == (4L, true))
+    // doc 2: shares exactly "alpha beta gamma"
+    assert(r(2L) == (1L, true))
+    assert(r(3L) == (0L, false))
+    // whole-text shingle of a <3-word doc matches its copy in the bench
+    assert(r(4L) == (1L, true))
+    assert(r(5L) == (1L, true))
+  }
+
+  test("decontaminate emits one row per input document") {
+    val bench = corpus.filter(col("doc_id") === 0)
+    assert(Curation.decontaminate(corpus, bench, "doc_id", "text")
+      .count() == corpus.count())
+  }
+
+  // ---- sampleByTokenBudget ----
+
+  private lazy val stratified = (0L until 200L).map { i =>
+    val lang = if (i % 4 == 0) "de" else "en" // en is the heavy stratum
+    (i, Seq.fill(10)("w" + i).mkString(" "), lang) // 10 tokens per doc
+  }.toDF("doc_id", "text", "lang")
+
+  test("sampler is deterministic and stratified") {
+    val a = Curation.sampleByTokenBudget(stratified, "doc_id", "text",
+      "lang", 500L).collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getBoolean(3))).toMap
+    val b = Curation.sampleByTokenBudget(stratified, "doc_id", "text",
+      "lang", 500L).collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(a == b)
+    assert(a.values.forall(_._2 == 10L)) // token twin: 10 words per doc
+    // expected kept tokens per stratum ~= budget: en has 1500 tokens at
+    // rate 1/3, de 500 at rate 1 (budget >= total -> keep all)
+    val deKept = a.collect { case (_, ("de", _, s)) => s }
+    assert(deKept.forall(identity)) // rate clamps at 1.0
+    val enKeptTokens = a.collect { case (_, ("en", n, true)) => n }.sum
+    assert(enKeptTokens > 200L && enKeptTokens < 900L) // ~500 expected
+  }
+
+  test("raising the budget never un-samples a document") {
+    val lo = Curation.sampleByTokenBudget(stratified, "doc_id", "text",
+      "lang", 300L).filter(col("sampled")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val hi = Curation.sampleByTokenBudget(stratified, "doc_id", "text",
+      "lang", 900L).filter(col("sampled")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(lo.subsetOf(hi)) // hash threshold is monotone in the rate
+  }
+}

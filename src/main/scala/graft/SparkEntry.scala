@@ -389,6 +389,21 @@ object SparkEntry {
       Curation.sampleByTokenBudget(tp(s, dir, "documents"),
         "doc_id", "text", "lang", budgetTokens = 2000L)),
 
+    // line-level boilerplate removal: the corpus has single-line texts,
+    // so the gate manufactures line structure deterministically (a nav
+    // header + copyright footer wrapped around every even doc_id) —
+    // mirrored byte-for-byte in the oracle CTE; the shared lines exceed
+    // the doc-frequency cap and must be stripped, body lines survive
+    "lines_dedup" -> ((s, dir) => {
+      val withBoiler = tp(s, dir, "documents").select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          concat_ws("\n", lit("NAV MENU HOME ABOUT CONTACT"),
+            coalesce(col("text"), lit("")),
+            lit("COPYRIGHT 2024 EXAMPLE INC ALL RIGHTS RESERVED")))
+          .otherwise(coalesce(col("text"), lit(""))).as("text"))
+      Curation.dedupLines(withBoiler, "doc_id", "text", maxDocFreq = 10L)
+    }),
+
     // ---- similarity search over embeddings ----
     "ann_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -1218,6 +1233,34 @@ object SparkEntry {
          |  (h32::DOUBLE / 4294967296.0) <
          |    least(1.0, 2000.0 / stratum_tokens::DOUBLE) AS sampled
          |FROM h""".stripMargin,
+
+    // same deterministic boilerplate wrap, then: per-line doc frequency
+    // (distinct per doc), drop lines over the cap, reassemble in order
+    "lines_dedup" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 2 = 0
+         |       THEN 'NAV MENU HOME ABOUT CONTACT' || chr(10) ||
+         |            coalesce(text, '') || chr(10) ||
+         |            'COPYRIGHT 2024 EXAMPLE INC ALL RIGHTS RESERVED'
+         |       ELSE coalesce(text, '') END AS text FROM documents),
+         |ls AS (SELECT doc_id, string_split(text, chr(10)) AS arr FROM t),
+         |l AS (SELECT doc_id, unnest(list_transform(
+         |        range(1, len(arr) + 1),
+         |        i -> {'pos': i, 'line': arr[i]}), recursive := true)
+         |      FROM ls),
+         |heavy AS (SELECT line FROM (SELECT DISTINCT doc_id, line FROM l)
+         |          GROUP BY line HAVING count(*) > 10),
+         |kept AS (SELECT l.doc_id, l.pos, l.line FROM l
+         |         WHERE NOT EXISTS (SELECT 1 FROM heavy h
+         |                           WHERE h.line = l.line)),
+         |agg AS (SELECT doc_id,
+         |          string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+         |          count(*)::BIGINT AS kept_lines
+         |        FROM kept GROUP BY doc_id)
+         |SELECT ls.doc_id, coalesce(agg.clean_text, '') AS clean_text,
+         |  len(ls.arr)::BIGINT AS n_lines,
+         |  len(ls.arr)::BIGINT - coalesce(agg.kept_lines, 0) AS removed_lines
+         |FROM ls LEFT JOIN agg USING (doc_id)""".stripMargin,
 
 
     "multimodal_meta" ->

@@ -69,6 +69,58 @@ object Curation {
         (coalesce(col("overlap_count"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Line-level boilerplate removal (CCNet-style): drop every line whose
+    * EXACT text occurs in more than `maxDocFreq` distinct documents (nav
+    * menus, cookie banners, copyright footers — the cross-document
+    * repeated lines doc-level dedup cannot see), and reassemble each
+    * document from its surviving lines in original order.
+    *
+    * Output: one row per input document — `clean_text` (surviving lines
+    * joined by \n, '' if everything was boilerplate), `n_lines`,
+    * `removed_lines`.
+    *
+    * Scale shape (three shuffles, none carrying what it doesn't need):
+    *  1. doc-frequency pass shuffles (key, md5(line)) pairs — 16-byte
+    *     fingerprints, never raw line text — distinct-per-doc then
+    *     count; lines above the cap are a tiny set (bounded by
+    *     total_lines / maxDocFreq) and BROADCAST,
+    *  2. the corpus side is a scan -> explode -> broadcast ANTI probe
+    *     (no shuffle),
+    *  3. reassembly groups surviving (pos, line) by key — the one
+    *     unavoidable text-carrying shuffle; a mapPartitions rebuild
+    *     against the broadcast heavy-set would avoid it at the cost of
+    *     leaving the declarative plan (AQE, codegen), which is the wrong
+    *     trade while the shuffle is one pass over kept text.
+    * Within-document duplicate lines count ONCE toward doc frequency
+    * (distinct per doc) but are all removed if the line is heavy.
+    */
+  def dedupLines(docs: DataFrame, keyCol: String, textCol: String,
+                 maxDocFreq: Long): DataFrame = {
+    val withLines = docs.select(col(keyCol),
+      split(coalesce(col(textCol), lit("")), "\n").as("ls"))
+    val lines = withLines.select(col(keyCol),
+      posexplode(col("ls")).as(Seq("pos", "line")))
+    val heavy = lines.select(col(keyCol), md5(col("line")).as("lh"))
+      .distinct()
+      .groupBy(col("lh")).agg(count(lit(1)).as("doc_freq"))
+      .filter(col("doc_freq") > maxDocFreq)
+      .select(col("lh"))
+    val kept = lines.join(broadcast(heavy),
+      md5(col("line")) === col("lh"), "left_anti")
+    val rebuilt = kept.groupBy(col(keyCol)).agg(
+      array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("line")))),
+        x => x("line")), "\n").as("clean_text"),
+      count(lit(1)).as("kept_lines"))
+    withLines.select(col(keyCol), size(col("ls")).cast(LongType).as("n_lines"))
+      .join(rebuilt, Seq(keyCol), "left")
+      .select(col(keyCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_lines"),
+        (col("n_lines") - coalesce(col("kept_lines"), lit(0L)))
+          .as("removed_lines"))
+  }
+
   /** Deterministic stratified sampling to a per-stratum token budget.
     *
     * Every stratum (e.g. language) gets `keep rate = min(1, budget /

@@ -42,6 +42,36 @@ class CurationSpec extends AnyFunSuite {
       .count() == corpus.count())
   }
 
+  // ---- dedupLines ----
+
+  test("dedupLines strips cross-document heavy lines, keeps order") {
+    val docs = (0L until 8L).map { i =>
+      (i, s"HEADER\nbody unique $i\nmid $i\nFOOTER")
+    } :+ ((8L, "HEADER\nHEADER\nonly header doc")) :+
+      ((9L, "no boilerplate here"))
+    val df = docs.toDF("doc_id", "text")
+    val r = Curation.dedupLines(df, "doc_id", "text", maxDocFreq = 5L)
+      .collect().map(x => x.getLong(0) ->
+        (x.getString(1), x.getLong(2), x.getLong(3))).toMap
+    // HEADER in 9 docs, FOOTER in 8 -> both heavy (cap 5)
+    assert(r(0L) == ("body unique 0\nmid 0", 4L, 2L))
+    assert(r(7L) == ("body unique 7\nmid 7", 4L, 2L))
+    // within-doc duplicates: counted once for df, both occurrences removed
+    assert(r(8L) == ("only header doc", 3L, 2L))
+    assert(r(9L) == ("no boilerplate here", 1L, 0L))
+  }
+
+  test("dedupLines: all-boilerplate doc yields empty text, not a dropped row") {
+    val docs = ((0L until 7L).map(i => (i, "SAME")) :+ ((7L, "SAME\nSAME")))
+      .toDF("doc_id", "text")
+    val r = Curation.dedupLines(docs, "doc_id", "text", maxDocFreq = 3L)
+      .collect().map(x => x.getLong(0) -> (x.getString(1), x.getLong(3)))
+      .toMap
+    assert(r.size == 8)
+    assert(r(0L) == ("", 1L))
+    assert(r(7L) == ("", 2L))
+  }
+
   // ---- sampleByTokenBudget ----
 
   private lazy val stratified = (0L until 200L).map { i =>

@@ -404,6 +404,14 @@ object SparkEntry {
       Curation.dedupLines(withBoiler, "doc_id", "text", maxDocFreq = 10L)
     }),
 
+    // url-level curation over pages: src3 is fully blocklisted, urls
+    // containing "doc/13" are pattern-banned, and every host is capped
+    // at ~18 eligible docs by the deterministic md5-threshold rule
+    "url_filter" -> ((s, dir) =>
+      Curation.urlFilter(pagesP(s, dir), "url",
+        blockedHosts = Seq("src3.example.com"),
+        bannedUrlParts = Seq("doc/13"), maxDocsPerHost = 18L)),
+
     // ---- similarity search over embeddings ----
     "ann_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -1261,6 +1269,33 @@ object SparkEntry {
          |  len(ls.arr)::BIGINT AS n_lines,
          |  len(ls.arr)::BIGINT - coalesce(agg.kept_lines, 0) AS removed_lines
          |FROM ls LEFT JOIN agg USING (doc_id)""".stripMargin,
+
+    // same rule set over the same pages CTE; keep iff no reason fires,
+    // host-cap keep = (first 32 md5 bits of url)/2^32 < min(1, 18/n) —
+    // the same IEEE comparison of the same integers Spark performs
+    "url_filter" ->
+      s"""WITH $pagesCte,
+         |m AS (SELECT url,
+         |        lower(regexp_extract(url,
+         |          '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS host,
+         |        contains(lower(url), 'doc/13') AS banned
+         |      FROM pages),
+         |b AS (SELECT *, (host = 'src3.example.com'
+         |                 OR host LIKE '%.src3.example.com') AS blocked
+         |      FROM m),
+         |c AS (SELECT host, count(*)::BIGINT AS n FROM b
+         |      WHERE NOT blocked AND NOT banned GROUP BY 1),
+         |r AS (SELECT b.url, b.host, coalesce(c.n, 0)::BIGINT AS n_host_docs,
+         |        CASE WHEN b.blocked THEN 'blocked_host'
+         |             WHEN b.banned THEN 'banned_url_pattern'
+         |             WHEN NOT ((('0x' || substr(md5(b.url), 1, 8))::BIGINT::DOUBLE
+         |                        / 4294967296.0)
+         |                       < least(1.0, 18.0 / c.n::DOUBLE))
+         |               THEN 'host_cap'
+         |             ELSE '' END AS reason
+         |      FROM b LEFT JOIN c USING (host))
+         |SELECT url, host, n_host_docs, reason = '' AS keep, reason
+         |FROM r""".stripMargin,
 
 
     "multimodal_meta" ->

@@ -121,6 +121,65 @@ object Curation {
           .as("removed_lines"))
   }
 
+  /** URL-level curation — the filter stage that runs BEFORE any text is
+    * parsed (the cheapest drop is the one that never decodes the page):
+    *
+    *  1. `blocked_host`: host (lower-cased authority of the url) equals a
+    *     blocklist entry or is a subdomain of one (`endsWith "." + entry`
+    *     — a UT1-style domain blocklist blocks whole registered domains),
+    *  2. `banned_url_pattern`: the url contains a banned substring,
+    *     case-insensitive (tracker paths, session ids, spam keywords),
+    *  3. `host_cap`: at most ~`maxDocsPerHost` documents per host, decided
+    *     by deterministic hash-thresholding — keep iff the first 32 md5
+    *     bits of the url, as a fraction of 2^32, fall below
+    *     min(1, cap / eligible_host_docs) — NOT a per-host top-K window
+    *     (which would total-order a 10^9-page host on one task). Same
+    *     bit-deterministic rate trick as [[sampleByTokenBudget]].
+    *
+    * Reasons are mutually exclusive with that precedence; `keep` is
+    * `reason == ""`. Output is a URL-VERDICT table (url, host,
+    * n_host_docs, keep, reason) — callers semi-join the corpus by url, so
+    * page text/html never enters this operator's shuffles.
+    *
+    * Scale shape: rule marking is a stateless scan -> project (the two
+    * rule lists compile to codegen'd boolean chains, no joins); the
+    * per-host count is one partial-aggregated shuffle of (host) pairs;
+    * the join back is keyed by host — O(#hosts) on the build side
+    * (~10^8 at crawl scale: a shuffle join, AQE-splittable when a hot
+    * host skews it, broadcast automatically at fixture scale).
+    */
+  def urlFilter(pages: DataFrame, urlCol: String,
+                blockedHosts: Seq[String], bannedUrlParts: Seq[String],
+                maxDocsPerHost: Long): DataFrame = {
+    val host = lower(regexp_extract(col(urlCol),
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1))
+    val blocked = blockedHosts.map(_.toLowerCase).map(b =>
+        host === b || host.endsWith("." + b))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val banned = bannedUrlParts.map(_.toLowerCase).map(p =>
+        lower(col(urlCol)).contains(p))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val marked = pages.select(col(urlCol).as("url"), host.as("host"),
+      blocked.as("blocked"), banned.as("banned"))
+    val counts = marked.filter(!col("blocked") && !col("banned"))
+      .groupBy(col("host")).agg(count(lit(1)).as("n_host_docs"))
+    val hash32 = conv(substring(md5(col("url")), 1, 8), 16, 10)
+      .cast(LongType)
+    // non-blocked rows always find their own host in `counts`, so the
+    // null-count case can only reach the earlier reason branches
+    val capKeep = (hash32.cast(DoubleType) / lit(4294967296.0)) <
+      least(lit(1.0), lit(maxDocsPerHost.toDouble) /
+        col("n_host_docs").cast(DoubleType))
+    val reason = when(col("blocked"), "blocked_host")
+      .when(col("banned"), "banned_url_pattern")
+      .when(!capKeep, "host_cap")
+      .otherwise("")
+    marked.join(counts, Seq("host"), "left")
+      .select(col("url"), col("host"),
+        coalesce(col("n_host_docs"), lit(0L)).as("n_host_docs"),
+        (reason === "").as("keep"), reason.as("reason"))
+  }
+
   /** Deterministic stratified sampling to a per-stratum token budget.
     *
     * Every stratum (e.g. language) gets `keep rate = min(1, budget /

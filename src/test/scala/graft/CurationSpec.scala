@@ -72,6 +72,54 @@ class CurationSpec extends AnyFunSuite {
     assert(r(7L) == ("", 2L))
   }
 
+  // ---- urlFilter ----
+
+  test("urlFilter: blocklist covers subdomains, reasons take precedence") {
+    val pages = Seq(
+      "https://spam.example.com/a",          // exact blocklist hit
+      "https://shop.spam.example.com/b",     // subdomain of a blocked host
+      "https://notspam.example.com/c",       // NOT a subdomain (no dot boundary)
+      "https://ok.example.com/casino/jackpot", // banned pattern
+      "https://spam.example.com/casino",     // blocked AND banned -> blocked wins
+      "https://ok.example.com/fine"
+    ).toDF("url")
+    val r = Curation.urlFilter(pages, "url",
+        blockedHosts = Seq("spam.example.com"),
+        bannedUrlParts = Seq("CASINO"), maxDocsPerHost = 100L)
+      .collect().map(x => x.getString(0) -> (x.getBoolean(3), x.getString(4)))
+      .toMap
+    assert(r("https://spam.example.com/a") == (false, "blocked_host"))
+    assert(r("https://shop.spam.example.com/b") == (false, "blocked_host"))
+    assert(r("https://notspam.example.com/c") == (true, ""))
+    assert(r("https://ok.example.com/casino/jackpot") ==
+      (false, "banned_url_pattern"))
+    assert(r("https://spam.example.com/casino") == (false, "blocked_host"))
+    assert(r("https://ok.example.com/fine") == (true, ""))
+  }
+
+  test("urlFilter: host cap is deterministic, rate-accurate, count-aware") {
+    val pages = ((0 until 400).map(i => s"https://big.example.com/doc/$i") ++
+      (0 until 5).map(i => s"https://small.example.com/doc/$i")).toDF("url")
+    val run1 = Curation.urlFilter(pages, "url", Nil, Nil, 100L)
+    val kept1 = run1.filter(col("keep")).collect()
+      .map(_.getString(0)).toSet
+    // the small host is under the cap: everything kept, n_host_docs exact
+    assert((0 until 5).forall(i => kept1(s"https://small.example.com/doc/$i")))
+    assert(run1.filter(col("host") === "big.example.com")
+      .select(max(col("n_host_docs"))).head.getLong(0) == 400L)
+    // hash-threshold keep rate 0.25 on 400 docs: binomial, |kept-100|
+    // within 5 sigma of the exact-rate expectation
+    val bigKept = kept1.count(_.contains("big."))
+    assert(math.abs(bigKept - 100) < 45, s"bigKept=$bigKept")
+    // bit-deterministic across runs
+    val kept2 = Curation.urlFilter(pages, "url", Nil, Nil, 100L)
+      .filter(col("keep")).collect().map(_.getString(0)).toSet
+    assert(kept1 == kept2)
+    // dropped-by-cap rows carry the reason
+    assert(run1.filter(!col("keep")).select(col("reason")).distinct()
+      .collect().map(_.getString(0)).toSeq == Seq("host_cap"))
+  }
+
   // ---- sampleByTokenBudget ----
 
   private lazy val stratified = (0L until 200L).map { i =>

@@ -89,6 +89,25 @@ class PlanSpec extends AnyFunSuite {
       s"pipeline introduced a shuffle:\n${plan.take(2000)}")
   }
 
+  test("urlFilter: no window/sort host cap; host-count join broadcasts " +
+    "at fixture scale") {
+    val df = SparkEntry.queries("url_filter")(spark, dir)
+    df.collect() // finalize the adaptive plan
+    val plan = planOf(df)
+    // the cap is hash-threshold, not top-K: no Window, no global Sort
+    assert(!plan.contains("Window"), s"cap uses a window:\n${plan.take(2000)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"host-count join not broadcast:\n${plan.take(2000)}")
+  }
+
+  test("dedupLines: heavy-line set probes as a broadcast ANTI join") {
+    val df = SparkEntry.queries("lines_dedup")(spark, dir)
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"heavy-line probe not a broadcast anti join:\n${plan.take(2000)}")
+    assert(!plan.contains("Window"), "reassembly uses a window")
+  }
+
   test("fused measure expression: evaluated ONCE, inside codegen, scan " +
     "pruned to referenced columns") {
     val pages = graft.sources.Pages.load(spark, dir)

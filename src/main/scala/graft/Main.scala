@@ -19,6 +19,8 @@ import graft.sources.{MetricsStore, SampleGenerator}
   *                      [maxIter] [hashmin|star] [strict|besteffort]
   *   graft.Main pipeline <pagesDir> <outDir> <metricsDir> <runId>
   *                      [buckets] [jaccard] [configYaml]
+  *                      [--block-host=a,b] [--ban-url=x,y]
+  *                      [--max-docs-per-host=N]
   *   graft.Main eval    <predParquet> <refParquet> [keyCol] [labelCol]
   *
   * `run` executes every check in the config against the parquet tables in
@@ -197,15 +199,26 @@ object Main {
       // near-dup dedup of the keepers -> final corpus (quality-keep AND
       // dedup-keep). Restart-safe at every unit: committed buckets,
       // committed dedup stages and a committed corpus are never redone.
-      require(args.length >= 5,
+      // url-rule flags (stage 0, applied before any text is parsed) are
+      // order-independent: --block-host=a,b --ban-url=x,y
+      // --max-docs-per-host=N; everything else stays positional
+      val (flags, pos) = args.partition(_.startsWith("--"))
+      def flagList(name: String): Seq[String] = flags.toSeq
+        .filter(_.startsWith(s"--$name="))
+        .flatMap(_.drop(name.length + 3).split(",")).filter(_.nonEmpty)
+      val maxPerHost = flags.find(_.startsWith("--max-docs-per-host="))
+        .map(_.drop("--max-docs-per-host=".length).toLong)
+        .getOrElse(Long.MaxValue)
+      require(pos.length >= 5,
         "usage: graft.Main pipeline <pagesDir> <outDir> <metricsDir> " +
-          "<runId> [buckets] [jaccard] [configYaml]")
-      val Array(_, pagesDir, outDir, metricsDir, runId) = args.take(5)
-      val buckets = if (args.length > 5) args(5).toInt else 64
-      val jaccard = if (args.length > 6) args(6).toDouble else 0.8
+          "<runId> [buckets] [jaccard] [configYaml] [--block-host=a,b] " +
+          "[--ban-url=x,y] [--max-docs-per-host=N]")
+      val Array(_, pagesDir, outDir, metricsDir, runId) = pos.take(5)
+      val buckets = if (pos.length > 5) pos(5).toInt else 64
+      val jaccard = if (pos.length > 6) pos(6).toDouble else 0.8
       val rules =
-        if (args.length > 7) {
-          val cfg = loadConfig(args(7))
+        if (pos.length > 7) {
+          val cfg = loadConfig(pos(7))
           val fromCfg = cfg.checks.map(graft.operators.RowRule.fromCheck)
           require(fromCfg.nonEmpty, "config has no checks")
           fromCfg
@@ -213,7 +226,9 @@ object Main {
       val spark = session(s"graft-pipeline-$runId")
       val report = graft.operators.Pipeline.runFull(spark,
         spark.read.parquet(pagesDir), outDir, metricsDir, runId,
-        buckets = buckets, jaccardThreshold = jaccard, rules = rules)
+        buckets = buckets, jaccardThreshold = jaccard, rules = rules,
+        blockedHosts = flagList("block-host"),
+        bannedUrlParts = flagList("ban-url"), maxDocsPerHost = maxPerHost)
       println(report.json)
       spark.stop()
 

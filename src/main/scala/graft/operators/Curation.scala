@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -151,23 +151,15 @@ object Curation {
   def urlFilter(pages: DataFrame, urlCol: String,
                 blockedHosts: Seq[String], bannedUrlParts: Seq[String],
                 maxDocsPerHost: Long): DataFrame = {
-    val host = lower(regexp_extract(col(urlCol),
-      "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1))
-    val blocked = blockedHosts.map(_.toLowerCase).map(b =>
-        host === b || host.endsWith("." + b))
-      .reduceOption(_ || _).getOrElse(lit(false))
-    val banned = bannedUrlParts.map(_.toLowerCase).map(p =>
-        lower(col(urlCol)).contains(p))
-      .reduceOption(_ || _).getOrElse(lit(false))
-    val marked = pages.select(col(urlCol).as("url"), host.as("host"),
-      blocked.as("blocked"), banned.as("banned"))
+    val marked = pages.select(col(urlCol).as("url"),
+      hostOf(urlCol).as("host"),
+      blockedExpr(urlCol, blockedHosts).as("blocked"),
+      bannedExpr(urlCol, bannedUrlParts).as("banned"))
     val counts = marked.filter(!col("blocked") && !col("banned"))
       .groupBy(col("host")).agg(count(lit(1)).as("n_host_docs"))
-    val hash32 = conv(substring(md5(col("url")), 1, 8), 16, 10)
-      .cast(LongType)
     // non-blocked rows always find their own host in `counts`, so the
     // null-count case can only reach the earlier reason branches
-    val capKeep = (hash32.cast(DoubleType) / lit(4294967296.0)) <
+    val capKeep = (hash32Of("url").cast(DoubleType) / lit(4294967296.0)) <
       least(lit(1.0), lit(maxDocsPerHost.toDouble) /
         col("n_host_docs").cast(DoubleType))
     val reason = when(col("blocked"), "blocked_host")
@@ -179,6 +171,57 @@ object Curation {
         coalesce(col("n_host_docs"), lit(0L)).as("n_host_docs"),
         (reason === "").as("keep"), reason.as("reason"))
   }
+
+  /** The [[urlFilter]] decision applied directly to a pages frame,
+    * preserving its columns — the shape the end-to-end pipeline's stage 0
+    * wants (rows that pass every url rule; the cheapest drop never parses
+    * the page). Decision semantics are identical to urlFilter
+    * (spec-pinned keep-set equality); the PLAN differs where scale
+    * demands it: blocked/banned are stateless codegen'd filters, and the
+    * host cap joins the page side against the BROADCAST set of OVER-CAP
+    * hosts only — bounded by total_docs/cap (10^7 entries for a 10^12-doc
+    * crawl capped at 10^5) vs O(#hosts) for the full count table — so the
+    * page payload itself never shuffles. Hosts absent from the over-cap
+    * set keep all their documents, exactly as urlFilter's
+    * min(1, cap/n) rate evaluates to 1 there.
+    */
+  def applyUrlRules(pages: DataFrame, urlCol: String,
+                    blockedHosts: Seq[String], bannedUrlParts: Seq[String],
+                    maxDocsPerHost: Long = Long.MaxValue): DataFrame = {
+    val eligible = pages.filter(!blockedExpr(urlCol, blockedHosts) &&
+      !bannedExpr(urlCol, bannedUrlParts))
+    if (maxDocsPerHost == Long.MaxValue) eligible
+    else {
+      val overCap = eligible.select(hostOf(urlCol).as("__host"))
+        .groupBy(col("__host")).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > maxDocsPerHost)
+      eligible.join(broadcast(overCap),
+          hostOf(urlCol) === col("__host"), "left")
+        .filter(col("__n").isNull ||
+          (hash32Of(urlCol).cast(DoubleType) / lit(4294967296.0)) <
+            lit(maxDocsPerHost.toDouble) / col("__n").cast(DoubleType))
+        .drop("__host", "__n")
+    }
+  }
+
+  /** Lower-cased authority component of the url. */
+  private def hostOf(urlCol: String): Column =
+    lower(regexp_extract(col(urlCol),
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1))
+
+  private def blockedExpr(urlCol: String, blockedHosts: Seq[String]): Column =
+    blockedHosts.map(_.toLowerCase).map(b =>
+        hostOf(urlCol) === b || hostOf(urlCol).endsWith("." + b))
+      .reduceOption(_ || _).getOrElse(lit(false))
+
+  private def bannedExpr(urlCol: String, bannedUrlParts: Seq[String]): Column =
+    bannedUrlParts.map(_.toLowerCase).map(p =>
+        lower(col(urlCol)).contains(p))
+      .reduceOption(_ || _).getOrElse(lit(false))
+
+  /** First 32 md5 bits of the url as a long — the shared threshold hash. */
+  private def hash32Of(urlCol: String): Column =
+    conv(substring(md5(col(urlCol)), 1, 8), 16, 10).cast(LongType)
 
   /** Deterministic stratified sampling to a per-stratum token budget.
     *

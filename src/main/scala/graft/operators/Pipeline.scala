@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 /** The full production corpus job, end-to-end and restart-safe:
   *
+  *   url rules (stateless + broadcast over-cap hosts, optional) — stage 0
   *   quality filter (bucketed, resumable)        -> <outDir>/verdicts
   *   near-dup dedup of the keepers (stage DAG)   -> <outDir>/dedup_stages
   *   final corpus (quality-keep ∩ dedup-keep)    -> <outDir>/corpus
@@ -43,8 +44,20 @@ object Pipeline {
               jaccardThreshold: Double = 0.8,
               rules: Seq[RowRule] = QualityFilter.defaultRules,
               failAfterBuckets: Int = Int.MaxValue,
-              failAfterDedupStages: Int = Int.MaxValue): Report = {
-    val (ran, skipped) = Resume.runBucketed(spark, pages,
+              failAfterDedupStages: Int = Int.MaxValue,
+              blockedHosts: Seq[String] = Nil,
+              bannedUrlParts: Seq[String] = Nil,
+              maxDocsPerHost: Long = Long.MaxValue): Report = {
+    // stage 0 (optional): url-level drops before any text is parsed.
+    // Pure function of the input urls, so the bucket commit protocol
+    // below sees the same filtered set on every restart — resume safety
+    // is unaffected. Report counts are relative to the url-kept set.
+    val inPages =
+      if (blockedHosts.isEmpty && bannedUrlParts.isEmpty &&
+        maxDocsPerHost == Long.MaxValue) pages
+      else Curation.applyUrlRules(pages, "url", blockedHosts,
+        bannedUrlParts, maxDocsPerHost)
+    val (ran, skipped) = Resume.runBucketed(spark, inPages,
       s"$outDir/verdicts", metricsDir, runId, buckets,
       failAfter = failAfterBuckets, rules = rules)
     val verdicts = spark.read.parquet(s"$outDir/verdicts")

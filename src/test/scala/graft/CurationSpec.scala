@@ -120,6 +120,26 @@ class CurationSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSeq == Seq("host_cap"))
   }
 
+  test("applyUrlRules: keep-set identical to urlFilter, page columns " +
+    "preserved") {
+    val pages = ((0 until 300).map(i =>
+      (s"https://big.example.com/doc/$i", i)) ++
+      (0 until 5).map(i => (s"https://small.example.com/doc/$i", i)) ++
+      Seq(("https://spam.example.com/x", 999),
+        ("https://ok.example.com/casino", 998))).toDF("url", "payload")
+    val verdictKeeps = Curation.urlFilter(pages, "url",
+        Seq("spam.example.com"), Seq("casino"), 80L)
+      .filter(col("keep")).select(col("url"))
+      .collect().map(_.getString(0)).toSet
+    val applied = Curation.applyUrlRules(pages, "url",
+      Seq("spam.example.com"), Seq("casino"), 80L)
+    assert(applied.columns.toSeq == Seq("url", "payload"))
+    assert(applied.collect().map(_.getString(0)).toSet == verdictKeeps)
+    // under-cap fast path: no cap -> stateless filters only
+    assert(Curation.applyUrlRules(pages, "url", Nil, Nil).count() ==
+      pages.count())
+  }
+
   // ---- sampleByTokenBudget ----
 
   private lazy val stratified = (0L until 200L).map { i =>

@@ -140,6 +140,19 @@ object MainSmoke {
       pline.contains("\"corpus_recomputed\":true"), s"pipeline line: $pline")
     println(s"PIPELINE subcommand OK: $pline")
 
+    // pipeline with url-rule flags: the blocked host (25 pages) never
+    // enters the run, so the report's page count drops by exactly 25
+    val pipeUrlOut = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(pipeUrlOut, true)) {
+      Main.main(Array("pipeline", s"$tmp/pages", s"$tmp/pipeurl",
+        s"$tmp/pipeurlmetrics", "smokepipeu", "4", "0.5",
+        "--block-host=src1.example.com"))
+    }
+    val puline = pipeUrlOut.toString.linesIterator
+      .find(_.startsWith("{\"pages\":")).getOrElse(
+        sys.error(s"url pipeline printed no JSON:\n${pipeUrlOut.toString.take(500)}"))
+    assert(puline.contains("\"pages\":475"), s"url pipeline line: $puline")
+
     val check = org.apache.spark.sql.SparkSession.builder()
       .master("local[4]").config("spark.ui.enabled", "false").getOrCreate()
     val pc = check.read.parquet(s"$tmp/pipe/corpus")

@@ -72,6 +72,27 @@ class PipelineFullSpec extends AnyFunSuite {
     assert(r2.corpusDocs == r.corpusDocs)
   }
 
+  test("stage 0 url rules: blocked host and over-cap drops never reach " +
+    "the quality filter, and the corpus excludes them") {
+    val pages = graft.sources.Pages.load(spark, dir)
+    val out = tmp("pipeurl")
+    val r = Pipeline.runFull(spark, pages, out, s"$out/metrics", "pfu",
+      buckets = 4, jaccardThreshold = 0.5,
+      blockedHosts = Seq("src1.example.com"), maxDocsPerHost = 18L)
+    val expected = graft.operators.Curation.applyUrlRules(pages, "url",
+      Seq("src1.example.com"), Nil, 18L).count()
+    assert(expected < 500 && r.pages == expected,
+      s"pages=${r.pages} expected=$expected")
+    // the blocked host is absent from verdicts AND corpus
+    val verdicts = spark.read.parquet(s"$out/verdicts")
+    assert(verdicts.filter(col("url").contains("//src1.example.com"))
+      .count() == 0)
+    val corpus = spark.read.parquet(s"$out/corpus")
+    assert(corpus.count() > 0)
+    assert(corpus.filter(col("url").contains("//src1.example.com"))
+      .count() == 0)
+  }
+
   test("kill inside the dedup phase: restart completes with a corpus " +
     "identical to an uninterrupted run") {
     val pages = graft.sources.Pages.load(spark, dir)

@@ -404,6 +404,13 @@ object SparkEntry {
       Curation.dedupLines(withBoiler, "doc_id", "text", maxDocFreq = 10L)
     }),
 
+    // exact substring dedup: every 15-token window appearing verbatim in
+    // >= 2 distinct documents is removed from all of them; texts are
+    // rebuilt from surviving tokens (single-space joined)
+    "dedup_substring" -> ((s, dir) =>
+      Dedup.substringDedup(tp(s, dir, "documents"), "doc_id", "text",
+        windowTokens = 15)),
+
     // url-level curation over pages: src3 is fully blocklisted, urls
     // containing "doc/13" are pattern-banned, and every host is capped
     // at ~18 eligible docs by the deterministic md5-threshold rule
@@ -1269,6 +1276,33 @@ object SparkEntry {
          |  len(ls.arr)::BIGINT AS n_lines,
          |  len(ls.arr)::BIGINT - coalesce(agg.kept_lines, 0) AS removed_lines
          |FROM ls LEFT JOIN agg USING (doc_id)""".stripMargin,
+
+    // window hashes re-derived as md5 over the same ' '-joined word
+    // slices; duplicated = distinct-doc frequency >= 2; covered token
+    // positions unioned per doc; rebuild = ordered string_agg
+    "dedup_substring" ->
+      s"""WITH d AS (SELECT doc_id, $docWords AS w FROM documents),
+         |win AS (SELECT doc_id, unnest(list_transform(
+         |          range(0, greatest(len(w) - 14, 0)),
+         |          i -> {'s': i, 'h': md5(array_to_string(w[i+1:i+15], ' '))}),
+         |        recursive := true) FROM d),
+         |dup AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM win)
+         |        GROUP BY h HAVING count(*) >= 2),
+         |cov AS (SELECT DISTINCT doc_id, unnest(range(s, s + 15)) AS p
+         |        FROM win JOIN dup USING (h)),
+         |tok AS (SELECT doc_id, unnest(list_transform(range(1, len(w) + 1),
+         |          i -> {'p': i - 1, 'word': w[i]}), recursive := true)
+         |        FROM d),
+         |kept AS (SELECT t.doc_id, t.p, t.word FROM tok t
+         |         WHERE NOT EXISTS (SELECT 1 FROM cov c
+         |                           WHERE c.doc_id = t.doc_id AND c.p = t.p)),
+         |agg AS (SELECT doc_id, string_agg(word, ' ' ORDER BY p) AS clean_text,
+         |          count(*)::BIGINT AS kept_tokens
+         |        FROM kept GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(agg.clean_text, '') AS clean_text,
+         |  len(d.w)::BIGINT AS n_tokens,
+         |  len(d.w)::BIGINT - coalesce(agg.kept_tokens, 0) AS removed_tokens
+         |FROM d LEFT JOIN agg USING (doc_id)""".stripMargin,
 
     // same rule set over the same pages CTE; keep iff no reason fires,
     // host-cap keep = (first 32 md5 bits of url)/2^32 < min(1, 18/n) —

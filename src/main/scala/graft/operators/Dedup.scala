@@ -644,6 +644,103 @@ object Dedup {
     * is NOT bounded (long near-dup chains), use
     * [[connectedComponentsStar]] — O(log^2 n) rounds regardless.
     */
+
+  /** EXACT SUBSTRING dedup (the Lee et al. 2022 "Deduplicating Training
+    * Data Makes Language Models Better" modality, re-expressed for
+    * Spark): remove every span of `windowTokens` consecutive words that
+    * also appears verbatim in ANOTHER document, and rebuild each document
+    * from its surviving tokens. Doc-level dedup (exact/minhash/simhash)
+    * keeps one copy of a duplicated PAGE; this removes duplicated
+    * PASSAGES — licence blocks, quoted boilerplate, syndicated paragraphs
+    * — that survive doc-level dedup inside otherwise-unique pages.
+    *
+    * Semantics (oracle-twinned, frozen):
+    *  - tokens = \s+-split non-empty words ([[graft.functions.Heuristics.words]]
+    *    twin); documents with fewer than `windowTokens` tokens are
+    *    untouched;
+    *  - a window (start s, the W tokens s..s+W-1 joined by ' ') is
+    *    duplicated iff its md5 appears in >= 2 DISTINCT documents
+    *    (within-doc repetition is the repetition rule's job, not this
+    *    operator's);
+    *  - every token covered by any duplicated window occurrence is
+    *    removed; `clean_text` is the surviving tokens joined by single
+    *    spaces (token-stream rebuild — whitespace is canonicalized,
+    *    exactly like a suffix-array pass over a tokenized corpus).
+    *
+    * The reference corpus-dedup literature builds one suffix array over
+    * the concatenated corpus — inherently single-machine. The Spark
+    * re-expression shuffles only: (key, md5(window)) pairs for the
+    * doc-frequency pass; duplicated occurrences exploded xW for span
+    * coverage (bounded by dup volume, not corpus volume); and the one
+    * text-carrying reassembly shuffle of surviving tokens (same shape as
+    * [[Curation.dedupLines]]). The window hasher is a JVM sliding-window
+    * UDF for the same measured reason as [[shingles]]: the Catalyst
+    * transform-over-sequence+slice formulation copies the word array per
+    * window, O(words^2) per document.
+    */
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  def substringDedup(docs: DataFrame, keyCol: String, textCol: String,
+                     windowTokens: Int = 15): DataFrame = {
+    val W = windowTokens
+    require(W >= 2, "windowTokens must be >= 2")
+    val winHashes = udf { ws: Seq[String] =>
+      if (ws == null || ws.length < W) Seq.empty[String]
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val arr = ws.toArray
+        val sb = new StringBuilder
+        (0 to arr.length - W).map { s =>
+          sb.setLength(0)
+          var j = 0
+          while (j < W) {
+            if (j > 0) sb.append(' ')
+            sb.append(arr(s + j))
+            j += 1
+          }
+          md.reset()
+          val d = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val hex = new Array[Char](32)
+          var k = 0
+          while (k < 16) {
+            val v = d(k) & 0xff
+            hex(2 * k) = HexDigits(v >> 4); hex(2 * k + 1) = HexDigits(v & 15)
+            k += 1
+          }
+          new String(hex)
+        }
+      }
+    }
+    val base = docs.select(col(keyCol),
+      graft.functions.Heuristics.words(col(textCol)).as("w"))
+    val wins = base.select(col(keyCol),
+      posexplode(winHashes(col("w"))).as(Seq("s", "h")))
+    val dup = wins.select(col(keyCol), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select(col("h"))
+    // covered token positions of duplicated occurrences: the xW explode
+    // is bounded by the volume of DUPLICATED text, not the corpus
+    val covered = wins.join(dup, Seq("h"))
+      .select(col(keyCol),
+        explode(sequence(col("s"), col("s") + lit(W - 1))).as("p"))
+      .distinct()
+    val toks = base.select(col(keyCol),
+      posexplode(col("w")).as(Seq("p", "word")))
+    val kept = toks.join(covered, Seq(keyCol, "p"), "left_anti")
+    val rebuilt = kept.groupBy(col(keyCol)).agg(
+      array_join(transform(
+        array_sort(collect_list(struct(col("p"), col("word")))),
+        x => x("word")), " ").as("clean_text"),
+      count(lit(1)).as("kept_tokens"))
+    base.select(col(keyCol), size(col("w")).cast(LongType).as("n_tokens"))
+      .join(rebuilt, Seq(keyCol), "left")
+      .select(col(keyCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("kept_tokens"), lit(0L)))
+          .as("removed_tokens"))
+  }
+
   /** `strict = true` (the library default) aborts if the labels have not
     * converged after `maxIter` rounds — right when the input is a
     * dup-graph built by the operators above, whose diameter IS bounded by

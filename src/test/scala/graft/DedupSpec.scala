@@ -169,6 +169,39 @@ class DedupSpec extends AnyFunSuite {
     assert(!got.keys.exists { case (x, y) => x == 3L || y == 3L })
   }
 
+  test("substring dedup: cross-doc passages removed, within-doc repeats " +
+    "and short docs untouched") {
+    val passage = (1 to 15).map(i => s"p$i").mkString(" ")
+    val repeatQ = (1 to 15).map(i => s"q$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"uniqueA1 uniqueA2 $passage uniqueA3"),
+      (1L, s"uniqueB $passage"),
+      (2L, "short doc"),                  // < 15 tokens: untouched
+      (3L, s"$repeatQ $repeatQ")          // same-doc repeat: NOT duplicated
+    ).toDF("doc_id", "text")
+    val r = Dedup.substringDedup(docs, "doc_id", "text", windowTokens = 15)
+      .collect().map(x => x.getLong(0) ->
+        (x.getString(1), x.getLong(2), x.getLong(3))).toMap
+    assert(r(0L) == ("uniqueA1 uniqueA2 uniqueA3", 18L, 15L))
+    assert(r(1L) == ("uniqueB", 16L, 15L))
+    assert(r(2L) == ("short doc", 2L, 0L))
+    assert(r(3L) == (s"$repeatQ $repeatQ", 30L, 0L))
+  }
+
+  test("substring dedup: overlapping duplicated windows merge their spans") {
+    // docs 0 and 1 share a 16-token passage -> two overlapping duplicated
+    // 15-windows in each; the union covers all 16 tokens exactly once
+    val passage = (1 to 16).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"left $passage"),
+      (1L, s"$passage right")).toDF("doc_id", "text")
+    val r = Dedup.substringDedup(docs, "doc_id", "text", windowTokens = 15)
+      .collect().map(x => x.getLong(0) -> (x.getString(1), x.getLong(3)))
+      .toMap
+    assert(r(0L) == ("left", 16L))
+    assert(r(1L) == ("right", 16L))
+  }
+
   test("resumable dedup DAG: kill between stages, restart skips committed " +
     "stages and yields identical decisions") {
     val realDocs = spark.read

@@ -404,6 +404,12 @@ object SparkEntry {
       Curation.dedupLines(withBoiler, "doc_id", "text", maxDocFreq = 10L)
     }),
 
+    // sequence packing: md5-bucketed concat-and-chunk bookkeeping into
+    // 512-token training sequences over 8 independent packing streams
+    "pack_sequences" -> ((s, dir) =>
+      Curation.packSequences(tp(s, dir, "documents"), "doc_id", "text",
+        seqLen = 512L, buckets = 8)),
+
     // exact substring dedup: every 15-token window appearing verbatim in
     // >= 2 distinct documents is removed from all of them; texts are
     // rebuilt from surviving tokens (single-space joined)
@@ -1276,6 +1282,24 @@ object SparkEntry {
          |  len(ls.arr)::BIGINT AS n_lines,
          |  len(ls.arr)::BIGINT - coalesce(agg.kept_lines, 0) AS removed_lines
          |FROM ls LEFT JOIN agg USING (doc_id)""".stripMargin,
+
+    // same md5 bucket/order, same cumulative window sum (cast from
+    // DuckDB's HUGEINT), same integer chunk arithmetic
+    "pack_sequences" ->
+      s"""WITH d AS (SELECT doc_id, len($docWords)::BIGINT AS token_count,
+         |             md5(doc_id::VARCHAR) AS h FROM documents),
+         |b AS (SELECT *, ('0x' || substr(h, 1, 15))::BIGINT % 8 AS bucket
+         |      FROM d),
+         |w AS (SELECT doc_id, bucket, token_count,
+         |        (sum(token_count) OVER (PARTITION BY bucket ORDER BY h
+         |           ROWS UNBOUNDED PRECEDING))::BIGINT AS cum FROM b)
+         |SELECT doc_id, bucket, token_count,
+         |  cum - token_count AS start_offset,
+         |  (cum - token_count) // 512 AS seq_index,
+         |  (token_count > 0 AND
+         |   ((cum - 1) // 512) != ((cum - token_count) // 512))
+         |    AS spans_boundary
+         |FROM w""".stripMargin,
 
     // window hashes re-derived as md5 over the same ' '-joined word
     // slices; duplicated = distinct-doc frequency >= 2; covered token

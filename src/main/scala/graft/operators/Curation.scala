@@ -204,6 +204,53 @@ object Curation {
     }
   }
 
+  /** Deterministic sequence packing (GPT-style concat-and-chunk
+    * bookkeeping): documents are hash-assigned to `buckets` independent
+    * packing streams, concatenated within their stream in a deterministic
+    * order (by md5 of the key — reruns, resumes and the DuckDB oracle
+    * agree), and chunked into fixed `seqLen`-token training sequences.
+    * Emits, per document: its stream (`bucket`), `token_count`
+    * ([[graft.functions.Heuristics.wordCount]] twin), `start_offset` in
+    * the stream's concatenated token tape, the training-sequence index
+    * its first token lands in (`seq_index`), and whether it straddles a
+    * sequence boundary (`spans_boundary` — the tail that a loader either
+    * wraps into the next sequence or truncates).
+    *
+    * Scale shape: ONE shuffle — hash-partition by bucket, sort by the
+    * md5 key within each bucket (a cumulative-sum window). Packing is
+    * inherently order-dependent, so the trick is to make the unit of
+    * order a BUCKET, not the corpus: buckets are md5-uniform (no skew),
+    * each holds ~1/`buckets` of the tokens, and a 10^12-doc corpus with
+    * buckets sized to the cluster (e.g. 100k) sorts ~10^7 docs per task
+    * instead of one global 10^12-doc total order. Offsets are exact
+    * longs; seq_index uses a double floor-divide, exact while per-bucket
+    * token totals stay below 2^53 (a 100 TB corpus is ~10^13 tokens —
+    * pick buckets >= ~10 and the bound holds with 9 digits to spare).
+    */
+  def packSequences(docs: DataFrame, keyCol: String, textCol: String,
+                    seqLen: Long, buckets: Int): DataFrame = {
+    require(seqLen > 0 && buckets > 0)
+    val h = md5(col(keyCol).cast(StringType).cast(BinaryType))
+    val base = docs.select(col(keyCol),
+      Heuristics.wordCount(col(textCol)).cast(LongType).as("token_count"),
+      h.as("__h"),
+      pmod(conv(substring(h, 1, 15), 16, 10).cast(LongType),
+        lit(buckets.toLong)).as("bucket"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col("__h"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = sum(col("token_count")).over(w)
+    val start = (cum - col("token_count")).as("start_offset")
+    val seqIdx = floor((cum - col("token_count")).cast(DoubleType) /
+      lit(seqLen.toDouble)).cast(LongType)
+    val endIdx = floor((cum - lit(1L)).cast(DoubleType) /
+      lit(seqLen.toDouble)).cast(LongType)
+    base.select(col(keyCol), col("bucket"), col("token_count"),
+      start, seqIdx.as("seq_index"),
+      (col("token_count") > 0 && endIdx =!= seqIdx).as("spans_boundary"))
+  }
+
   /** Lower-cased authority component of the url. */
   private def hostOf(urlCol: String): Column =
     lower(regexp_extract(col(urlCol),

@@ -140,6 +140,42 @@ class CurationSpec extends AnyFunSuite {
       pages.count())
   }
 
+  // ---- packSequences ----
+
+  test("packSequences: per-bucket tapes are gapless, chunk math exact, " +
+    "deterministic") {
+    val docs = (0L until 120L).map(i =>
+      (i, (0 until (i % 7).toInt + 1).map(j => s"w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val r = Curation.packSequences(docs, "doc_id", "text",
+      seqLen = 10L, buckets = 3)
+    val rows = r.collect().map(x => (x.getLong(0), x.getLong(1),
+      x.getLong(2), x.getLong(3), x.getLong(4), x.getBoolean(5)))
+    assert(rows.length == 120)
+    // every bucket's tape starts at 0 and is gapless: sorted by offset,
+    // each doc starts where the previous ended
+    rows.groupBy(_._2).foreach { case (b, ds) =>
+      val sorted = ds.sortBy(_._4)
+      assert(sorted.head._4 == 0L, s"bucket $b starts at ${sorted.head._4}")
+      sorted.sliding(2).foreach {
+        case Array((_, _, tc, st, _, _), (_, _, _, st2, _, _)) =>
+          assert(st2 == st + tc, s"gap in bucket $b at $st2")
+        case _ =>
+      }
+    }
+    // chunk bookkeeping: seq_index = floor(start/10), spans_boundary iff
+    // the doc's tokens cross a multiple of 10
+    rows.foreach { case (id, _, tc, st, si, sp) =>
+      assert(si == st / 10L, s"doc $id seq_index")
+      assert(sp == (tc > 0 && (st + tc - 1) / 10L != st / 10L),
+        s"doc $id spans_boundary")
+    }
+    // deterministic rerun
+    val again = Curation.packSequences(docs, "doc_id", "text", 10L, 3)
+      .collect().map(x => (x.getLong(0), x.getLong(3))).toMap
+    assert(rows.forall(t => again(t._1) == t._4))
+  }
+
   // ---- sampleByTokenBudget ----
 
   private lazy val stratified = (0L until 200L).map { i =>

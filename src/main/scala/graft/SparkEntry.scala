@@ -293,6 +293,15 @@ object SparkEntry {
           round(col("langid_score"), 6).as("langid_score"),
           round(col("ppl"), 4).as("ppl"))),
 
+    // trained quality classifier over SCRUBBED text (pipeline order):
+    // model output, not SQL-expressible (rows-only; SfGolden pin)
+    "text_quality_model" -> ((s, dir) =>
+      graft.functions.ModelScores.withQualityScore(
+        tp(s, dir, "documents").select(col("doc_id"),
+          graft.functions.Scrub.scrubFast(col("text")).as("text")), "text")
+        .select(col("doc_id"),
+          round(col("quality_prob"), 6).as("quality_prob"))),
+
     // ---- dedup family over documents ----
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(tp(s, dir, "documents"), "text", "doc_id")

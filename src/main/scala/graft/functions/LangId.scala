@@ -225,7 +225,7 @@ object LangId extends Serializable {
   /** trim().isEmpty without the trim allocation (String.trim strips
     * chars <= 0x20).
     */
-  @inline private def allBlank(s: String): Boolean = {
+  @inline private[functions] def allBlank(s: String): Boolean = {
     var i = 0
     while (i < s.length) { if (s.charAt(i) > ' ') return false; i += 1 }
     true
@@ -237,7 +237,7 @@ object LangId extends Serializable {
     * Character.toLowerCase; featurize and predict share this exact view,
     * so model and scorer stay bit-consistent.
     */
-  @inline private def cAt(s: String, i: Int, len: Int): Char =
+  @inline private[functions] def cAt(s: String, i: Int, len: Int): Char =
     if (i == 0 || i == len - 1) ' '
     else Character.toLowerCase(s.charAt(i - 1))
 
@@ -298,7 +298,7 @@ object LangId extends Serializable {
     * inference. Training-time only; inference never materializes a
     * vector.
     */
-  private def meanFeaturize(text: String): (Array[Int], Array[Float], Int) = {
+  private[functions] def meanFeaturize(text: String): (Array[Int], Array[Float], Int) = {
     val counts = new Array[Int](dim)
     val len = text.length + 2
     @inline def allSpace(from: Int, until: Int): Boolean = {

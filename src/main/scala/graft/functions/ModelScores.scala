@@ -32,6 +32,23 @@ object ModelScores {
     }(Encoders.row(outSchema))
   }
 
+  /** Trained quality-classifier probability as a column ([[QualityModel]]
+    * — score SCRUBBED text in pipelines; the model treats scrub
+    * placeholders as prose artifacts). Same mapPartitions island shape as
+    * [[withScores]].
+    */
+  def withQualityScore(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val outSchema = df.schema
+      .add(StructField("quality_prob", DoubleType, nullable = false))
+    val idx = df.schema.fieldIndex(textCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val text = if (r.isNullAt(idx)) null else r.getString(idx)
+        Row.fromSeq(r.toSeq :+ QualityModel.score(text))
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** The whole measure surface in ONE island: model scores (optional),
     * text-stats vector, and scrubbed text, from a single UTF8String ->
     * String conversion per row. Separate UDFs each re-convert the text

@@ -17,6 +17,7 @@ object SfGolden {
   val langidPath = "src/test/resources/golden_langid_sf0001.csv"
   val mediaPath = "src/test/resources/golden_media_sf0001.csv"
   val ivfPath = "src/test/resources/golden_ivf_trained_sf0001.csv"
+  val qualityPath = "src/test/resources/golden_quality_sf0001.csv"
 
   /** Canonical row strings for the exact driver query output. */
   def langidRows(spark: org.apache.spark.sql.SparkSession): Seq[String] =
@@ -50,6 +51,13 @@ object SfGolden {
       .sorted.toSeq
   }
 
+  /** Trained quality-classifier probabilities over scrubbed text. */
+  def qualityRows(spark: org.apache.spark.sql.SparkSession): Seq[String] =
+    SparkEntry.queries("text_quality_model")(spark, sfDir)
+      .collect()
+      .map(r => s"${r.getLong(0)},${r.getDouble(1)}")
+      .sorted.toSeq
+
   def readCommitted(path: String): Seq[String] = {
     val src = scala.io.Source.fromFile(path)
     try src.getLines().toList finally src.close()
@@ -73,6 +81,14 @@ class SfGoldenSpec extends AnyFunSuite {
     assert(computed.size == expected.size)
     val bad = computed.zip(expected).filter { case (c, e) => c != e }
     assert(bad.isEmpty, s"media drift: ${bad.take(3)}")
+  }
+
+  test("text_quality_model output matches the committed sf0.001 golden exactly") {
+    val computed = SfGolden.qualityRows(spark)
+    val expected = SfGolden.readCommitted(SfGolden.qualityPath)
+    assert(computed.size == expected.size)
+    val bad = computed.zip(expected).filter { case (c, e) => c != e }
+    assert(bad.isEmpty, s"quality-model drift: ${bad.take(3)}")
   }
 
   test("trained IVF (vec_id, cell) assignment matches the committed " +
@@ -116,6 +132,7 @@ object SfGoldenWriter {
     write(SfGolden.langidPath, SfGolden.langidRows(spark))
     write(SfGolden.mediaPath, SfGolden.mediaRows(spark))
     write(SfGolden.ivfPath, SfGolden.ivfRows(spark))
+    write(SfGolden.qualityPath, SfGolden.qualityRows(spark))
     spark.stop()
   }
 }

@@ -209,10 +209,14 @@ object Main {
       val maxPerHost = flags.find(_.startsWith("--max-docs-per-host="))
         .map(_.drop("--max-docs-per-host=".length).toLong)
         .getOrElse(Long.MaxValue)
+      // opt-in trained-classifier gate (QualityModel over scrubbed text,
+      // applied between the heuristic filter and dedup)
+      val minQuality = flags.find(_.startsWith("--min-quality="))
+        .map(_.drop("--min-quality=".length).toDouble)
       require(pos.length >= 5,
         "usage: graft.Main pipeline <pagesDir> <outDir> <metricsDir> " +
           "<runId> [buckets] [jaccard] [configYaml] [--block-host=a,b] " +
-          "[--ban-url=x,y] [--max-docs-per-host=N]")
+          "[--ban-url=x,y] [--max-docs-per-host=N] [--min-quality=P]")
       val Array(_, pagesDir, outDir, metricsDir, runId) = pos.take(5)
       val buckets = if (pos.length > 5) pos(5).toInt else 64
       val jaccard = if (pos.length > 6) pos(6).toDouble else 0.8
@@ -228,7 +232,8 @@ object Main {
         spark.read.parquet(pagesDir), outDir, metricsDir, runId,
         buckets = buckets, jaccardThreshold = jaccard, rules = rules,
         blockedHosts = flagList("block-host"),
-        bannedUrlParts = flagList("ban-url"), maxDocsPerHost = maxPerHost)
+        bannedUrlParts = flagList("ban-url"), maxDocsPerHost = maxPerHost,
+        minQualityProb = minQuality)
       println(report.json)
       spark.stop()
 

@@ -7,8 +7,9 @@ import org.apache.spark.sql.functions._
   *
   *   url rules (stateless + broadcast over-cap hosts, optional) — stage 0
   *   quality filter (bucketed, resumable)        -> <outDir>/verdicts
-  *   near-dup dedup of the keepers (stage DAG)   -> <outDir>/dedup_stages
-  *   final corpus (quality-keep ∩ dedup-keep)    -> <outDir>/corpus
+  *   trained-classifier gate (optional)          — scrubbed-text scoring
+  *   near-dup dedup of the survivors (stage DAG) -> <outDir>/dedup_stages
+  *   final corpus (all gates ∩ dedup-keep)       -> <outDir>/corpus
   *
   * Every phase reuses its own commit protocol — per-bucket `_SUCCESS` +
   * `_METRICS_OK` for the filter ([[Resume.runBucketed]]), per-stage
@@ -30,8 +31,16 @@ object Pipeline {
                           bucketsSkipped: Int,
                           dedupStages: Dedup.ResumeReport,
                           corpusRecomputed: Boolean) {
+    /** Docs the heuristic rules kept but the trained classifier gate
+      * dropped (0 when the gate is off). Derived, not counted: dedup
+      * decisions carry one row per gate survivor, so the identity
+      * kept = modelDropped + dupDropped + corpusDocs closes exactly —
+      * no extra action for the report.
+      */
+    def modelDropped: Long = qualityKept - dupDropped - corpusDocs
     def json: String =
       s"""{"pages":$pages,"quality_kept":$qualityKept,""" +
+        s""""model_dropped":$modelDropped,""" +
         s""""dup_dropped":$dupDropped,"corpus_docs":$corpusDocs,""" +
         s""""buckets_run":$bucketsRun,"buckets_skipped":$bucketsSkipped,""" +
         s""""dedup_stages_run":[${dedupStages.ran.map("\"" + _ + "\"").mkString(",")}],""" +
@@ -47,7 +56,8 @@ object Pipeline {
               failAfterDedupStages: Int = Int.MaxValue,
               blockedHosts: Seq[String] = Nil,
               bannedUrlParts: Seq[String] = Nil,
-              maxDocsPerHost: Long = Long.MaxValue): Report = {
+              maxDocsPerHost: Long = Long.MaxValue,
+              minQualityProb: Option[Double] = None): Report = {
     // stage 0 (optional): url-level drops before any text is parsed.
     // Pure function of the input urls, so the bucket commit protocol
     // below sees the same filtered set on every restart — resume safety
@@ -62,8 +72,27 @@ object Pipeline {
       failAfter = failAfterBuckets, rules = rules)
     val verdicts = spark.read.parquet(s"$outDir/verdicts")
     val keptVerdicts = verdicts.filter(col("keep"))
+    // optional trained-classifier gate ([[graft.functions.QualityModel]],
+    // the GPT-3-style "score against a curated reference corpus" filter):
+    // scored on the SCRUBBED text (the pipeline's real order — the model
+    // treats scrub placeholders as prose artifacts), applied between the
+    // heuristic filter and dedup so dedup only pays for survivors.
+    // Deterministic function of the committed verdicts, so bucket resume
+    // is unaffected; like jaccardThreshold, changing the threshold
+    // against a stale dedup_stages dir reuses committed stages — use a
+    // fresh outDir per policy (documented at Dedup.dedupResumable).
+    val dedupInput = minQualityProb match {
+      case Some(p) =>
+        graft.functions.ModelScores
+          .withQualityScore(
+            keptVerdicts.select(col("url"), col("scrubbed_text")),
+            "scrubbed_text")
+          .filter(col("quality_prob") >= p)
+          .select(col("url"), col("scrubbed_text"))
+      case None => keptVerdicts.select(col("url"), col("scrubbed_text"))
+    }
     val (decisions, dedupReport) = Dedup.dedupResumable(
-      keptVerdicts.select(col("url"), col("scrubbed_text")), "url",
+      dedupInput, "url",
       "scrubbed_text", s"$outDir/dedup_stages",
       jaccardThreshold = jaccardThreshold,
       failAfter = failAfterDedupStages)

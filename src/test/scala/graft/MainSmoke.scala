@@ -153,6 +153,23 @@ object MainSmoke {
         sys.error(s"url pipeline printed no JSON:\n${pipeUrlOut.toString.take(500)}"))
     assert(puline.contains("\"pages\":475"), s"url pipeline line: $puline")
 
+    // pipeline with the trained-classifier gate: model drops show up in
+    // the report and the counts identity still closes (exact drop count
+    // is pinned in PipelineFullSpec; here we pin the CLI plumbing)
+    val pipeQOut = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(pipeQOut, true)) {
+      Main.main(Array("pipeline", s"$tmp/pages", s"$tmp/pipeq",
+        s"$tmp/pipeqmetrics", "smokepipeq", "4", "0.5",
+        "--min-quality=0.5"))
+    }
+    val pqline = pipeQOut.toString.linesIterator
+      .find(_.startsWith("{\"pages\":")).getOrElse(
+        sys.error(s"model pipeline printed no JSON:\n${pipeQOut.toString.take(500)}"))
+    val pqDropped = "\"model_dropped\":(\\d+)".r
+      .findFirstMatchIn(pqline).map(_.group(1).toLong).getOrElse(
+        sys.error(s"no model_dropped in: $pqline"))
+    assert(pqDropped > 0, s"gate not discriminating at 0.5: $pqline")
+
     val check = org.apache.spark.sql.SparkSession.builder()
       .master("local[4]").config("spark.ui.enabled", "false").getOrCreate()
     val pc = check.read.parquet(s"$tmp/pipe/corpus")

@@ -93,6 +93,35 @@ class PipelineFullSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("opt-in trained-classifier gate: model drops are exactly the kept " +
+    "verdicts scoring under the threshold, and the corpus excludes them") {
+    val pages = graft.sources.Pages.load(spark, dir)
+    val out = tmp("pipemodel")
+    val p = 0.5
+    val r = Pipeline.runFull(spark, pages, out, s"$out/metrics", "pfm",
+      buckets = 4, jaccardThreshold = 0.5, minQualityProb = Some(p))
+    // independent expectation: score the committed kept verdicts directly
+    val kept = spark.read.parquet(s"$out/verdicts").filter(col("keep"))
+    val scored = graft.functions.ModelScores.withQualityScore(
+      kept.select(col("url"), col("scrubbed_text")), "scrubbed_text")
+    val expectDropUrls = scored.filter(col("quality_prob") < p)
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(expectDropUrls.nonEmpty, "threshold not discriminating")
+    assert(r.modelDropped == expectDropUrls.size,
+      s"modelDropped=${r.modelDropped} expected=${expectDropUrls.size}")
+    // counts close: kept = modelDropped + dupDropped + corpusDocs
+    assert(r.corpusDocs == r.qualityKept - r.modelDropped - r.dupDropped)
+    val corpus = spark.read.parquet(s"$out/corpus")
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(corpus.nonEmpty && corpus.intersect(expectDropUrls).isEmpty)
+    assert(r.json.contains(s""""model_dropped":${expectDropUrls.size}"""))
+    // the ungated pipeline reports model_dropped 0 (identity still closes)
+    val out2 = tmp("pipenogate")
+    val r0 = Pipeline.runFull(spark, pages, out2, s"$out2/metrics", "pfn",
+      buckets = 4, jaccardThreshold = 0.5)
+    assert(r0.modelDropped == 0L)
+  }
+
   test("kill inside the dedup phase: restart completes with a corpus " +
     "identical to an uninterrupted run") {
     val pages = graft.sources.Pages.load(spark, dir)

@@ -172,6 +172,24 @@ class PlanSpec extends AnyFunSuite {
       s"text_quality projection fell out of codegen:\n${tqPlan.take(2000)}")
   }
 
+  test("text_quality_model: scan pruned to (doc_id, text), narrow plan — " +
+    "no shuffle around the scoring island") {
+    val q = SparkEntry.queries("text_quality_model")(spark, dir)
+    val plan = q.queryExecution.executedPlan.toString
+    val rs = "ReadSchema: [^\\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(rs.contains("doc_id") && rs.contains("text") &&
+      !rs.contains("lang") && !rs.contains("n_chars"),
+      s"scan reads unreferenced columns: $rs")
+    // the only exchange is tp()'s deliberate round-robin input spread
+    // (single-split test parquet); the scoring itself must add NO
+    // key-shuffle
+    val exchanges = "Exchange [A-Za-z]+".r.findAllIn(plan).toList
+    assert(exchanges.forall(_.contains("RoundRobin")) &&
+      exchanges.size <= 1,
+      s"unexpected shuffle in a per-row scoring query: $exchanges\n" +
+        plan.take(1500))
+  }
+
   test("filter AFTER the pipeline on a passthrough column reaches the " +
     "scan's PushedFilters (the deterministic-flag removal payoff)") {
     val pages = graft.sources.Pages.load(spark, dir)

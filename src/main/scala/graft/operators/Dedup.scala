@@ -443,7 +443,14 @@ object Dedup {
     * it with a kill between stages.
     *
     * `stageDir` is keyed to ONE input corpus: rerunning against different
-    * input requires a fresh stage dir (delete or change the path).
+    * input requires a fresh stage dir (delete or change the path). The
+    * PARAMETERS of a run are guarded loudly, not by documentation: the
+    * first run commits a `_PARAMS` record of every semantic knob (plus
+    * the caller's `inputTag` — e.g. the pipeline's classifier-gate
+    * threshold, which changes the input set), and a resume against a
+    * stage dir committed under different parameters fails by name
+    * instead of silently reusing stages computed under the old policy
+    * (production shape: the same record as Iceberg table properties).
     * `failAfter` injects a crash after N stage commits (for tests).
     */
   def dedupResumable(docs: DataFrame, keyCol: String, textCol: String,
@@ -453,9 +460,32 @@ object Dedup {
                      shingleN: Int = 3, maxBucketSize: Int = 1000,
                      maxIter: Int = 20, strict: Boolean = true,
                      algorithm: String = "hashmin",
-                     failAfter: Int = Int.MaxValue)
+                     failAfter: Int = Int.MaxValue,
+                     inputTag: String = "")
       : (DataFrame, ResumeReport) = {
     val spark = docs.sparkSession
+    val paramsLine = Seq(
+      s"keyCol=$keyCol", s"textCol=$textCol",
+      s"jaccardThreshold=$jaccardThreshold", s"numHashes=$numHashes",
+      s"bands=$bands", s"shingleN=$shingleN",
+      s"maxBucketSize=$maxBucketSize", s"maxIter=$maxIter",
+      s"strict=$strict", s"algorithm=$algorithm",
+      s"inputTag=$inputTag").mkString(";")
+    val paramsFile = new java.io.File(s"$stageDir/_PARAMS")
+    if (paramsFile.exists()) {
+      val committed = new String(
+        java.nio.file.Files.readAllBytes(paramsFile.toPath), "UTF-8")
+      require(committed == paramsLine,
+        s"dedupResumable: stage dir $stageDir was committed with " +
+          s"different parameters.\n  committed: $committed\n  " +
+          s"requested: $paramsLine\nResuming would silently mix stages " +
+          "computed under the old policy — use a fresh stage dir (or " +
+          "delete this one) to change parameters.")
+    } else {
+      paramsFile.getParentFile.mkdirs()
+      java.nio.file.Files.write(paramsFile.toPath,
+        paramsLine.getBytes("UTF-8"))
+    }
     val ran = scala.collection.mutable.Buffer.empty[String]
     val skipped = scala.collection.mutable.Buffer.empty[String]
     def stage(name: String)(compute: => DataFrame): DataFrame = {

@@ -78,9 +78,9 @@ object Pipeline {
     // treats scrub placeholders as prose artifacts), applied between the
     // heuristic filter and dedup so dedup only pays for survivors.
     // Deterministic function of the committed verdicts, so bucket resume
-    // is unaffected; like jaccardThreshold, changing the threshold
-    // against a stale dedup_stages dir reuses committed stages — use a
-    // fresh outDir per policy (documented at Dedup.dedupResumable).
+    // is unaffected; the threshold rides into dedup's _PARAMS record via
+    // inputTag, so changing it against a stale dedup_stages dir fails
+    // loudly instead of silently reusing stages from the old policy.
     val dedupInput = minQualityProb match {
       case Some(p) =>
         graft.functions.ModelScores
@@ -95,7 +95,8 @@ object Pipeline {
       dedupInput, "url",
       "scrubbed_text", s"$outDir/dedup_stages",
       jaccardThreshold = jaccardThreshold,
-      failAfter = failAfterDedupStages)
+      failAfter = failAfterDedupStages,
+      inputTag = minQualityProb.fold("")(p => s"minQualityProb=$p"))
     val corpusPath = s"$outDir/corpus"
     val corpusCommitted = new java.io.File(s"$corpusPath/_SUCCESS").exists()
     if (!corpusCommitted) {

@@ -238,6 +238,21 @@ class DedupSpec extends AnyFunSuite {
     val (_, again) = Dedup.dedupResumable(realDocs, "doc_id", "text", stages,
       jaccardThreshold = 0.5)
     assert(again.ran.isEmpty && again.skipped.size == 5)
+    // parameter guard: resuming the same committed dir under a DIFFERENT
+    // policy fails loudly by name instead of silently reusing stages
+    // (threshold change, and an inputTag change — the pipeline's
+    // classifier-gate threshold rides in through inputTag)
+    val drifted = intercept[IllegalArgumentException] {
+      Dedup.dedupResumable(realDocs, "doc_id", "text", stages,
+        jaccardThreshold = 0.8)
+    }
+    assert(drifted.getMessage.contains("different parameters") &&
+      drifted.getMessage.contains("jaccardThreshold=0.8"))
+    val tagged = intercept[IllegalArgumentException] {
+      Dedup.dedupResumable(realDocs, "doc_id", "text", stages,
+        jaccardThreshold = 0.5, inputTag = "minQualityProb=0.5")
+    }
+    assert(tagged.getMessage.contains("inputTag=minQualityProb=0.5"))
   }
 
   test("connected components: chain convergence, singletons, min-key labels") {

@@ -11,8 +11,11 @@ package graft.functions
   *
   *  - features are EXACTLY [[LangId.meanFeaturize]]'s (same virtual
   *    " text " lowercase view, same FNV-1a buckets, same per-gram mean
-  *    normalization), so the langid and quality heads read the same
-  *    gram stream at inference and the two scores cost one fused pass;
+  *    normalization), so the quality head is one more accumulator over
+  *    the gram stream the langid head already defines — NOTE the
+  *    pipeline gate scores SCRUBBED text while langid scores raw text,
+  *    so in the shipped pipeline order the two scores are separate
+  *    passes over different streams by design, not a missed fusion;
   *  - training is fully deterministic, once per JVM at class init
   *    (measured ~330 ms — the same order as [[LangId]]'s ~310 ms init;
   *    per-executor, not per-task, so it vanishes against any real

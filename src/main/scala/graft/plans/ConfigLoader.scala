@@ -7,12 +7,14 @@ import scala.jdk.CollectionConverters._
   * (weiser/loader/config.py:14-104):
   *   - {{VAR}} templating from the environment (config.py:70-74; the
   *     reference renders through full Jinja2 — we support the
-  *     variable-substitution subset plus Jinja-semantics conditionals,
-  *     {% if %}/{% elif %}/{% else %}/{% endif %} with nesting, `not`,
-  *     and ==/!= string comparison, which covers every shipped reference
-  *     example and the conditional-block pattern real configs use; any
-  *     other {% statement %} — for/set/macro/filters — fails loudly with
-  *     the statement named, never renders as silent text)
+  *     variable-substitution subset plus the upper/lower/trim/default
+  *     filter chain, Jinja-semantics conditionals
+  *     ({% if %}/{% elif %}/{% else %}/{% endif %} with nesting, `not`,
+  *     ==/!= string comparison) and {% for %} loops over VAR.split/
+  *     literal lists, which covers every shipped reference example and
+  *     the patterns real configs use; any other {% statement %} —
+  *     set/macro — or unsupported {{ expression }} fails loudly with the
+  *     construct named, never renders as silent text)
   *   - `.env` file loading under the process environment
   *     (weiser/main.py:52-59 python-dotenv parity, see [[envForConfig]])
   *   - recursive `includes` with a visited set (config.py:80-98)
@@ -22,10 +24,86 @@ import scala.jdk.CollectionConverters._
   */
 object ConfigLoader {
 
-  def substituteEnv(raw: String, env: Map[String, String] = sys.env): String =
-    "\\{\\{\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*\\}\\}".r
-      .replaceAllIn(raw, m => java.util.regex.Matcher
-        .quoteReplacement(env.getOrElse(m.group(1), "")))
+  /** `{{ VAR }}` / `{{ VAR|filter|... }}` expression: a variable plus an
+    * optional chain of supported filters. Filter args are single quoted
+    * literals (quote pairs exact, like the if-expressions).
+    */
+  private val exprPat =
+    ("\\{\\{\\s*([A-Za-z_][A-Za-z0-9_]*)" +
+      "((?:\\s*\\|\\s*[A-Za-z_][A-Za-z0-9_]*(?:\\([^()]*\\))?)*)\\s*\\}\\}").r
+  private val filterPat =
+    ("\\|\\s*([A-Za-z_][A-Za-z0-9_]*)" +
+      "(?:\\(\\s*(?:'([^']*)'|\"([^\"]*)\")\\s*\\))?").r
+
+  /** `{{VAR}}` substitution plus the Jinja2 filter subset the reference's
+    * renderer accepts on env strings: `upper`, `lower`, `trim`,
+    * `default('lit')` — chained left to right with Jinja's undefined
+    * semantics (default Jinja2 environment: an undefined variable renders
+    * "" through string filters, `default` replaces only the undefined
+    * value, and a defined-but-empty value is NOT defaulted). Any other
+    * `{{ ... }}` content — unknown filters, malformed args, expressions —
+    * fails loudly by name: Jinja would evaluate it, so shipping it as
+    * literal YAML text would be a silent misrender.
+    */
+  def substituteEnv(raw: String, env: Map[String, String] = sys.env): String = {
+    def failT(msg: String): Nothing = throw new IllegalArgumentException(
+      s"config template: $msg (supported filters: upper, lower, trim, " +
+        "default('lit'))")
+    // any '{{' in the TEMPLATE not consumed by exprPat is an expression
+    // this subset does not support (math, method calls, bad names) —
+    // Jinja would evaluate it, so passing it through as text is the
+    // silent-misrender class this loader refuses; same discipline as the
+    // stray-'{%' guard. Checked on the raw input, not the output: a
+    // substituted env VALUE containing '{{' is plain text by design.
+    locally {
+      val spans = exprPat.findAllMatchIn(raw).map(m => (m.start, m.end)).toList
+      var idx = raw.indexOf("{{")
+      while (idx >= 0) {
+        if (!spans.exists { case (s, e) => idx >= s && idx < e })
+          failT("unsupported or malformed '{{' expression near " +
+            s"[${raw.substring(idx).take(40)}]")
+        idx = raw.indexOf("{{", idx + 2)
+      }
+    }
+    val out = exprPat.replaceAllIn(raw, m => {
+      var value: Option[String] = env.get(m.group(1))
+      val chain = Option(m.group(2)).getOrElse("")
+      if (chain.nonEmpty) {
+        // the filter matches must tile the whole chain (whitespace-only
+        // gaps) — a partially-matched arg list, e.g. default(1, true),
+        // must fail, not silently drop its tail
+        var pos = 0
+        for (f <- filterPat.findAllMatchIn(chain)) {
+          if (chain.substring(pos, f.start).trim.nonEmpty)
+            failT(s"malformed filter chain '${chain.trim}'")
+          pos = f.end
+          val arg =
+            if (f.group(2) != null) Some(f.group(2))
+            else if (f.group(3) != null) Some(f.group(3))
+            else None
+          (f.group(1), arg) match {
+            case ("upper", None) =>
+              value = Some(value.getOrElse("")
+                .toUpperCase(java.util.Locale.ROOT))
+            case ("lower", None) =>
+              value = Some(value.getOrElse("")
+                .toLowerCase(java.util.Locale.ROOT))
+            case ("trim", None) => value = Some(value.getOrElse("").strip)
+            case ("default", Some(lit)) => value = Some(value.getOrElse(lit))
+            case ("default", None) =>
+              failT("default requires a quoted literal argument")
+            case (name, Some(_)) =>
+              failT(s"filter '$name' takes no argument")
+            case (name, None) => failT(s"unsupported filter '$name'")
+          }
+        }
+        if (chain.substring(pos).trim.nonEmpty)
+          failT(s"malformed filter chain '${chain.trim}'")
+      }
+      java.util.regex.Matcher.quoteReplacement(value.getOrElse(""))
+    })
+    out
+  }
 
   /** Full template render: statements ({% if %} blocks, {% for %} loops)
     * and `{{VAR}}` substitution in ONE recursive-descent pass, each text
@@ -53,7 +131,7 @@ object ConfigLoader {
     *   - every branch's condition and body are PARSED (validated) whether
     *     or not taken — Jinja semantics: syntax errors don't hide in dead
     *     branches or empty loops.
-    * Any other statement — set/macro/filters/`{%-` trim tags — fails
+    * Any other statement — set/macro/`{%-` trim tags — fails
     * loudly with the statement named, and a stray un-tokenized `{%` in
     * the text (e.g. an unclosed or newline-split tag the regex missed)
     * fails too: an unrendered statement silently parsed as YAML text is

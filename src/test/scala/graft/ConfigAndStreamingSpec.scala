@@ -147,6 +147,50 @@ class ConfigLoaderSpec extends AnyFunSuite {
       Seq(Seq("pages"), Seq("events"), Seq("docs")))
   }
 
+  test("Jinja filter subset: upper/lower/trim/default chains, undefined " +
+    "semantics, loud failure on everything else") {
+    def r(tpl: String, env: (String, String)*): String =
+      ConfigLoader.renderTemplate(tpl, env.toMap)
+    // basics + chaining (left to right)
+    assert(r("{{X|upper}}", "X" -> "abc") == "ABC")
+    assert(r("{{X|lower}}", "X" -> "AbC") == "abc")
+    assert(r("{{X|trim}}", "X" -> "  a b  ") == "a b")
+    assert(r("{{ X | trim | upper }}", "X" -> " ab ") == "AB")
+    // Jinja default-environment undefined semantics: undefined renders ""
+    // through string filters; default replaces only the UNDEFINED value
+    // (a defined-but-empty value is kept); filters after default see the
+    // defaulted value
+    assert(r("{{UNDEF|upper}}") == "")
+    assert(r("{{UNDEF|default('d')}}") == "d")
+    assert(r("{{X|default('d')}}", "X" -> "") == "")
+    assert(r("{{X|default('d')}}", "X" -> "v") == "v")
+    assert(r("{{UNDEF|default('d')|upper}}") == "D")
+    assert(r("{{X|default(\"d\")}}", "X" -> "v") == "v")
+    // filters compose with statements (loop var in scope)
+    assert(r("{% for t in ['a','b'] %}{{t|upper}};{% endfor %}") == "A;B;")
+    // a substituted env VALUE containing '{{' is plain text, never
+    // re-rendered and never flagged by the unsupported-expression guard
+    assert(r("{{X}}", "X" -> "literal {{Y}} text") == "literal {{Y}} text")
+    // loud failures: unknown filter, bad args, unsupported expressions —
+    // each previously passed through as SILENT literal text
+    for (bad <- Seq("{{X|join(',')}}", "{{X|default}}", "{{X|upper('a')}}",
+      "{{X|default(1, true)}}", "{{ 1 + 2 }}", "{{bad-name}}",
+      "{{X.method()}}", "{{ X | }}")) {
+      val e = intercept[IllegalArgumentException](r(bad, "X" -> "v"))
+      assert(e.getMessage.contains("config template"), s"$bad -> $e")
+    }
+    // end-to-end through load(): defaulted var inside a check name
+    val tmp = java.nio.file.Files.createTempDirectory("cfgfilter")
+    java.nio.file.Files.writeString(tmp.resolve("f.yaml"),
+      "checks:\n  - {name: rc {{GRAFT_TPL_SUFFIX|default('base')|upper}}, " +
+        "dataset: t, type: row_count}\n")
+    val withVar = ConfigLoader.load(tmp.resolve("f.yaml").toString,
+      Map("GRAFT_TPL_SUFFIX" -> "eu"))
+    val without = ConfigLoader.load(tmp.resolve("f.yaml").toString, Map.empty)
+    assert(withVar.checks.map(_.name) == Seq("rc EU"))
+    assert(without.checks.map(_.name) == Seq("rc BASE"))
+  }
+
   test("Jinja conditional renderer: random nested templates match a " +
     "reference evaluation (property)") {
     val env = Map("A" -> "1", "B" -> "", "C" -> "prod", "D" -> "x",

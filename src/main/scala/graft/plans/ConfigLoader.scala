@@ -128,10 +128,16 @@ object ConfigLoader {
     *     semantics exactly ("" splits to [""], empty fields kept); an
     *     undefined source VAR fails loudly (Jinja raises on
     *     undefined.split too, it does not silently skip the loop).
+    *   - `{% set X = RHS %}` with RHS a quoted literal or a variable with
+    *     an optional filter chain, Jinja scoping semantics: `if` blocks
+    *     introduce NO scope (a set in the taken branch persists past the
+    *     endif; sets in untaken branches never apply), `for` bodies DO
+    *     (loop-body sets don't leak out), and a set is visible to every
+    *     later expression, condition, and loop source in its scope.
     *   - every branch's condition and body are PARSED (validated) whether
     *     or not taken — Jinja semantics: syntax errors don't hide in dead
     *     branches or empty loops.
-    * Any other statement — set/macro/`{%-` trim tags — fails
+    * Any other statement — macro/`{%-` trim tags — fails
     * loudly with the statement named, and a stray un-tokenized `{%` in
     * the text (e.g. an unclosed or newline-split tag the regex missed)
     * fails too: an unrendered statement silently parsed as YAML text is
@@ -154,7 +160,8 @@ object ConfigLoader {
     def fail(msg: String): Nothing = throw new IllegalArgumentException(
       s"config template: $msg (supported: {{VAR}}, {% if/elif/else/endif %} " +
         "with not and ==/!= string comparison, " +
-        "{% for X in VAR.split(',') %}/{% for X in ['a','b'] %})")
+        "{% for X in VAR.split(',') %}/{% for X in ['a','b'] %}, " +
+        "{% set X = 'lit' %}/{% set X = VAR|filters %})")
 
     toks.foreach {
       case Text(t) if t.contains("{%") =>
@@ -211,20 +218,42 @@ object ConfigLoader {
         case other => fail(s"unsupported {% for %} expression '$other'")
       }
 
+    // {% set X = RHS %}: RHS is a quoted literal (exact pairs) or a
+    // variable with an optional filter chain — evaluated through
+    // substituteEnv so filter semantics (incl. undefined -> "") are the
+    // single source of truth
+    val setLitPat =
+      "([A-Za-z_][A-Za-z0-9_]*)\\s*=\\s*(?:'([^']*)'|\"([^\"]*)\")".r
+    val setVarPat =
+      ("([A-Za-z_][A-Za-z0-9_]*)\\s*=\\s*" +
+        "([A-Za-z_][A-Za-z0-9_]*(?:\\s*\\|[^=]*)?)").r
+    def parseSet(spec: String,
+                 scope: Map[String, String]): (String, String) =
+      spec.trim match {
+        case setLitPat(x, sq, dq) => (x, if (sq != null) sq else dq)
+        case setVarPat(x, rhs)    => (x, substituteEnv(s"{{$rhs}}", scope))
+        case other => fail(s"unsupported {% set %} expression '$other'")
+      }
+
     var i = 0
-    def parseIf(firstCond: String, scope: Map[String, String]): String = {
-      var result: Option[String] = None
+    // if blocks introduce NO scope in Jinja: the taken branch's sets
+    // persist past the endif, so parseIf returns (body, post-if scope);
+    // untaken branches are still parsed (validated, sets computed) but
+    // their scope is discarded
+    def parseIf(firstCond: String,
+                scope: Map[String, String]): (String, Map[String, String]) = {
+      var result: Option[(String, Map[String, String])] = None
       var cond = parseCond(firstCond)
       var inElse = false
       while (true) {
-        val (body, stop) =
+        val (body, stop, sc) =
           parseBlock(scope, Set("elif", "else", "endif"))
-        if (result.isEmpty && (inElse || cond(scope))) result = Some(body)
+        if (result.isEmpty && (inElse || cond(scope))) result = Some((body, sc))
         stop match {
           case None => fail("unterminated {% if %} (missing {% endif %})")
           case Some(s) =>
             s.split("\\s+", 2).toList match {
-              case "endif" :: _ => return result.getOrElse("")
+              case "endif" :: _ => return result.getOrElse(("", scope))
               case "elif" :: rest =>
                 if (inElse) fail("{% elif %} after {% else %}")
                 // parse (validate) EVERY branch condition, taken or not —
@@ -238,37 +267,43 @@ object ConfigLoader {
             }
         }
       }
-      "" // unreachable
+      ("", scope) // unreachable
     }
     // renders until a terminator in stopKws (returned, consumed) or end of
-    // input; nested ifs/fors recurse
-    def parseBlock(scope: Map[String, String],
-                   stopKws: Set[String]): (String, Option[String]) = {
+    // input; nested ifs/fors recurse; returns the scope as of the
+    // terminator so a {% set %} is visible to the rest of its block
+    def parseBlock(scope: Map[String, String], stopKws: Set[String])
+        : (String, Option[String], Map[String, String]) = {
       val sb = new StringBuilder
+      var sc = scope
       while (i < toks.length) {
         toks(i) match {
-          case Text(s) => sb ++= substituteEnv(s, scope); i += 1
+          case Text(s) => sb ++= substituteEnv(s, sc); i += 1
           case Stmt(s) =>
             val kw = s.split("\\s+", 2)(0)
             if (stopKws.contains(kw)) {
               i += 1
-              return (sb.toString, Some(s))
+              return (sb.toString, Some(s), sc)
             }
             kw match {
               case "if" =>
                 i += 1
                 val cond = s.split("\\s+", 2).lift(1)
                   .getOrElse(fail("{% if %} without an expression"))
-                sb ++= parseIf(cond, scope)
+                val (body, sc2) = parseIf(cond, sc)
+                sb ++= body
+                sc = sc2
               case "for" =>
                 i += 1
                 val spec = s.split("\\s+", 2).lift(1)
                   .getOrElse(fail("{% for %} without an expression"))
-                val (x, items) = parseFor(spec, scope)
+                val (x, items) = parseFor(spec, sc)
                 val bodyStart = i
+                // for bodies DO introduce a scope (Jinja): loop-body sets
+                // are discarded at endfor
                 def once(item: String): String = {
                   i = bodyStart
-                  val (body, stop) = parseBlock(scope + (x -> item),
+                  val (body, stop, _) = parseBlock(sc + (x -> item),
                     Set("endfor"))
                   if (stop.isEmpty)
                     fail("unterminated {% for %} (missing {% endfor %})")
@@ -276,6 +311,12 @@ object ConfigLoader {
                 }
                 if (items.isEmpty) once("") // parse the body anyway
                 else items.foreach(item => sb ++= once(item))
+              case "set" =>
+                i += 1
+                val spec = s.split("\\s+", 2).lift(1)
+                  .getOrElse(fail("{% set %} without an expression"))
+                val (x, value) = parseSet(spec, sc)
+                sc = sc + (x -> value)
               case "elif" | "else" | "endif" =>
                 fail(s"'{% $s %}' without a matching {% if %}")
               case "endfor" =>
@@ -285,7 +326,7 @@ object ConfigLoader {
             }
         }
       }
-      (sb.toString, None)
+      (sb.toString, None, sc)
     }
     parseBlock(env, Set.empty)._1
   }

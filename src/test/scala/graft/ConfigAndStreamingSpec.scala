@@ -191,31 +191,91 @@ class ConfigLoaderSpec extends AnyFunSuite {
     assert(without.checks.map(_.name) == Seq("rc BASE"))
   }
 
-  test("Jinja conditional renderer: random nested templates match a " +
+  test("Jinja set subset: literal/var/filter RHS, if-blocks share scope, " +
+    "for-bodies don't, loud failure on unsupported RHS") {
+    def r(tpl: String, env: (String, String)*): String =
+      ConfigLoader.renderTemplate(tpl, env.toMap)
+    // literal, var, filter-chain RHS; set feeds later expressions,
+    // conditions, and loop sources
+    assert(r("{% set x = 'v' %}{{x}}") == "v")
+    assert(r("{% set x = SRC %}{{x}}", "SRC" -> "s") == "s")
+    assert(r("{% set x = SRC|upper|trim %}{{x}}!", "SRC" -> " ab ") == "AB!")
+    assert(r("{% set x = UNDEF|default('d') %}{{x}}") == "d")
+    assert(r("{% set x = UNDEF %}[{{x}}]") == "[]") // Jinja undefined -> ""
+    assert(r("{% set x = 'p' %}{% if x == 'p' %}Y{% else %}N{% endif %}")
+      == "Y")
+    assert(r("{% set l = 'a,b' %}{% for t in l.split(',') %}{{t}};" +
+      "{% endfor %}") == "a;b;")
+    // rebinding: later set wins; set shadows an env var of the same name
+    assert(r("{% set x = 'a' %}{% set x = 'b' %}{{x}}") == "b")
+    assert(r("{% set X = 'mine' %}{{X}}", "X" -> "env") == "mine")
+    // Jinja scoping: if blocks introduce NO scope (taken-branch set
+    // persists past endif; untaken branch's set never applies) ...
+    assert(r("{% if F %}{% set x = 't' %}{% else %}{% set x = 'e' %}" +
+      "{% endif %}{{x}}", "F" -> "1") == "t")
+    assert(r("{% if F %}{% set x = 't' %}{% else %}{% set x = 'e' %}" +
+      "{% endif %}{{x}}") == "e")
+    assert(r("{% if F %}{% set x = 't' %}{% endif %}[{{x}}]") == "[]")
+    // ... but for bodies DO (loop-body set visible inside the iteration,
+    // discarded at endfor — and the loop VAR itself stays scoped)
+    assert(r("{% for t in ['a'] %}{% set y = t|upper %}{{y}}{% endfor %}" +
+      "[{{y}}]") == "A[]")
+    // a set in a dead branch is still VALIDATED (syntax errors don't hide)
+    intercept[IllegalArgumentException](
+      r("{% if F %}{% set x = 1 + 2 %}{% endif %}"))
+    // loud failures: missing/garbage RHS, bad names, trailing tokens
+    for (bad <- Seq("{% set x %}", "{% set x = %}", "{% set 1x = 'a' %}",
+      "{% set x = 'a'|upper %}", "{% set x = VAR junk %}",
+      "{% set x = VAR|upper junk %}", "{% set x = [1,2] %}")) {
+      val e = intercept[IllegalArgumentException](r(bad, "VAR" -> "v"))
+      assert(e.getMessage.contains("config template"), s"$bad -> $e")
+    }
+    // end-to-end through load(): set-derived check name
+    val tmp = java.nio.file.Files.createTempDirectory("cfgset")
+    java.nio.file.Files.writeString(tmp.resolve("s.yaml"),
+      "{% set env = GRAFT_TPL_ENV|default('dev')|upper %}\n" +
+        "checks:\n  - {name: rc {{env}}, dataset: t, type: row_count}\n")
+    assert(ConfigLoader.load(tmp.resolve("s.yaml").toString,
+      Map("GRAFT_TPL_ENV" -> "prod")).checks.map(_.name) == Seq("rc PROD"))
+    assert(ConfigLoader.load(tmp.resolve("s.yaml").toString,
+      Map.empty).checks.map(_.name) == Seq("rc DEV"))
+  }
+
+  test("Jinja renderer: random nested templates (if/for/set) match a " +
     "reference evaluation (property)") {
     val env = Map("A" -> "1", "B" -> "", "C" -> "prod", "D" -> "x",
       "L1" -> "a,b", "L2" -> "", "L3" -> "p,,q")
     // build (template, referenceEval) pairs recursively: the reference
     // side is a structural evaluator over the in-scope variables, never
-    // the code under test. Scope-dependent eval covers loop-variable
-    // shadowing and conditions over loop vars.
+    // the code under test. The eval threads Scope => (String, Scope) so
+    // {% set %} visibility to RIGHT SIBLINGS, if-blocks sharing scope,
+    // and for-bodies discarding it are all independently re-derived;
+    // scope-dependent eval also covers loop-variable shadowing and
+    // conditions over loop/set vars.
     type Scope = Map[String, String]
+    type Eval = Scope => (String, Scope)
     def truthyRef(sc: Scope, v: String) = sc.get(v).exists(_.nonEmpty)
+    val setNames = Seq("s0", "s1")
     def build(rnd: scala.util.Random, depth: Int,
-              loopVars: List[String]): (String, Scope => String) = {
-      rnd.nextInt(if (depth >= 4) 2 else 6) match {
-        case 0 => val t = "t" + rnd.nextInt(100) + " "; (t, _ => t)
+              loopVars: List[String]): (String, Eval) = {
+      rnd.nextInt(if (depth >= 4) 2 else 7) match {
+        case 0 => val t = "t" + rnd.nextInt(100) + " "; (t, sc => (t, sc))
         case 1 =>
-          val v = (Seq("A", "B", "C", "MISSING") ++ loopVars)(
-            rnd.nextInt(4 + loopVars.length))
-          (s"{{$v}}", sc => sc.getOrElse(v, ""))
+          val cands = Seq("A", "B", "C", "MISSING") ++ setNames ++ loopVars
+          val v = cands(rnd.nextInt(cands.length))
+          (s"{{$v}}", sc => (sc.getOrElse(v, ""), sc))
         case 2 =>
           val (t1, e1) = build(rnd, depth + 1, loopVars)
           val (t2, e2) = build(rnd, depth + 1, loopVars)
-          (t1 + t2, sc => e1(sc) + e2(sc))
+          (t1 + t2, sc => {
+            val (o1, sc1) = e1(sc)
+            val (o2, sc2) = e2(sc1) // set in t1 visible to t2
+            (o1 + o2, sc2)
+          })
         case 5 =>
           // a loop: env-driven split or literal list, nested bodies may
-          // reference (and shadow) the loop var
+          // reference (and shadow) the loop var; body sets are DISCARDED
+          // at endfor (Jinja loop scope)
           val x = s"v${loopVars.length}"
           val (srcTpl, items): (String, Scope => Seq[String]) =
             if (rnd.nextBoolean()) {
@@ -228,9 +288,29 @@ class ConfigLoaderSpec extends AnyFunSuite {
             }
           val (t1, e1) = build(rnd, depth + 1, x :: loopVars)
           (s"{% for $x in $srcTpl %}$t1{% endfor %}",
-            sc => items(sc).map(item => e1(sc + (x -> item))).mkString)
+            sc => (items(sc).map(item => e1(sc + (x -> item))._1).mkString,
+              sc))
+        case 6 =>
+          // {% set %}: literal or variable(+filter) RHS; renders nothing,
+          // mutates the scope for what follows in the same block
+          val x = setNames(rnd.nextInt(setNames.length))
+          rnd.nextInt(3) match {
+            case 0 =>
+              val lit = "w" + rnd.nextInt(10)
+              (s"{% set $x = '$lit' %}", sc => ("", sc + (x -> lit)))
+            case 1 =>
+              val cands = Seq("A", "C", "MISSING") ++ setNames ++ loopVars
+              val src = cands(rnd.nextInt(cands.length))
+              (s"{% set $x = $src %}",
+                sc => ("", sc + (x -> sc.getOrElse(src, ""))))
+            case _ =>
+              val src = Seq("C", "D", "MISSING")(rnd.nextInt(3))
+              (s"{% set $x = $src|upper %}",
+                sc => ("", sc + (x -> sc.getOrElse(src, "")
+                  .toUpperCase(java.util.Locale.ROOT))))
+          }
         case _ =>
-          val (cond, truth): (String, Scope => Boolean) = rnd.nextInt(5) match {
+          val (cond, truth): (String, Scope => Boolean) = rnd.nextInt(6) match {
             case 0 => val v = Seq("A", "B", "MISSING")(rnd.nextInt(3))
               (v, truthyRef(_, v))
             case 1 => val v = Seq("A", "B")(rnd.nextInt(2))
@@ -239,6 +319,9 @@ class ConfigLoaderSpec extends AnyFunSuite {
               (s"C == '$lit'", sc => sc("C") == lit)
             case 3 => val lit = Seq("prod", "dev")(rnd.nextInt(2))
               (s"C != '$lit'", sc => sc("C") != lit)
+            case 4 =>
+              val v = setNames(rnd.nextInt(setNames.length))
+              (v, truthyRef(_, v)) // condition over a set var
             case _ if loopVars.nonEmpty =>
               val v = loopVars(rnd.nextInt(loopVars.length))
               val lit = Seq("a", "b", "i1")(rnd.nextInt(3))
@@ -246,21 +329,22 @@ class ConfigLoaderSpec extends AnyFunSuite {
             case _ => ("A", truthyRef(_, "A"))
           }
           val (t1, e1) = build(rnd, depth + 1, loopVars)
+          // if blocks share scope: the TAKEN branch's sets persist
           if (rnd.nextBoolean()) {
             val (t2, e2) = build(rnd, depth + 1, loopVars)
             (s"{% if $cond %}$t1{% else %}$t2{% endif %}",
               sc => if (truth(sc)) e1(sc) else e2(sc))
           } else
             (s"{% if $cond %}$t1{% endif %}",
-              sc => if (truth(sc)) e1(sc) else "")
+              sc => if (truth(sc)) e1(sc) else ("", sc))
       }
     }
     (0 until 500).foreach { seed =>
       val rnd = new scala.util.Random(seed)
       val (tpl, expected) = build(rnd, 0, Nil)
       val got = ConfigLoader.renderTemplate(tpl, env)
-      assert(got == expected(env),
-        s"seed=$seed template=$tpl got=$got expected=${expected(env)}")
+      assert(got == expected(env)._1,
+        s"seed=$seed template=$tpl got=$got expected=${expected(env)._1}")
     }
   }
 

@@ -381,6 +381,21 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(tp(s, dir, "documents"), "doc_id", "text",
         n = 3, threshold = 0.5)),
 
+    // INCREMENTAL snapshot-over-corpus dedup: fresh = doc_id % 4 in
+    // {1, 2} (so consecutive seeded near-dup pairs land both fresh-fresh
+    // AND fresh-corpus), corpus = the rest. Same corpus-margin assumption
+    // as dedup_minhash_lsh (documented above). resolved_to = the corpus
+    // doc / kept fresh head this doc resolves to (itself when kept) —
+    // null-free so the gate's pandas row sort stays int64 on both sides.
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = tp(s, dir, "documents")
+      val isFresh = col("doc_id") % 4 === 1 || col("doc_id") % 4 === 2
+      Dedup.dedupIncremental(docs.filter(!isFresh), docs.filter(isFresh),
+        "doc_id", "text", jaccardThreshold = 0.5, maxBucketSize = 600)
+        .select(col("doc_id"), col("keep"),
+          coalesce(col("dup_of"), col("doc_id")).as("resolved_to"))
+    }),
+
     // ---- corpus curation ----
     // benchmark decontamination: the "eval set" is a deterministic slice
     // of the corpus itself (doc_id % 50 == 0) so the gate needs no
@@ -627,6 +642,62 @@ object SparkEntry {
        |SELECT doc_id, coalesce(m.lbl, doc_id) AS cluster_id,
        |  coalesce(m.lbl, doc_id) = doc_id AS keep
        |FROM documents LEFT JOIN m ON m.node = doc_id""".stripMargin
+
+  /** Brute-force twin of Dedup.dedupIncremental on the same fresh/corpus
+    * split as the gate query: fresh-fresh edges (byte-equal OR jaccard >=
+    * 0.5) close transitively; a component with any fresh-corpus edge
+    * resolves to its smallest linked corpus doc; otherwise min-key wins.
+    * The inverted-index join loses nothing vs all-pairs (any pair at
+    * jaccard >= 0.5 shares a shingle); empty-text docs pair only through
+    * the fingerprint arm on both sides (unnest of a NULL shingle row
+    * never equijoins), mirroring the operator's exactCross path.
+    */
+  private lazy val dedupIncrementalSql: String =
+    s"""WITH RECURSIVE
+       |fall AS (SELECT doc_id, coalesce(text, '') AS text,
+       |           md5(coalesce(text, '')) AS f FROM documents),
+       |fr AS (SELECT * FROM fall WHERE doc_id % 4 IN (1, 2)),
+       |cp AS (SELECT * FROM fall WHERE doc_id % 4 NOT IN (1, 2)),
+       |df AS (SELECT doc_id, $docShingles AS shs FROM fr),
+       |dc AS (SELECT doc_id, $docShingles AS shs FROM cp),
+       |invf AS (SELECT doc_id, len(shs) AS n_sh, unnest(shs) AS sh FROM df),
+       |invc AS (SELECT doc_id, len(shs) AS n_sh, unnest(shs) AS sh FROM dc),
+       |pf AS (
+       |  SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+       |         a.n_sh AS na, b.n_sh AS nb, count(*) AS inter
+       |  FROM invf a JOIN invf b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3, 4),
+       |edges0 AS (
+       |  SELECT key_a, key_b FROM pf
+       |  WHERE inter::DOUBLE / (na + nb - inter)::DOUBLE >= 0.5
+       |  UNION SELECT a.doc_id, b.doc_id FROM fr a
+       |        JOIN fr b ON a.f = b.f AND a.doc_id < b.doc_id),
+       |sym AS (SELECT key_a AS a, key_b AS b FROM edges0
+       |        UNION SELECT key_b, key_a FROM edges0),
+       |cc AS (SELECT a AS node, a AS lbl FROM sym
+       |       UNION SELECT e.b, cc.lbl FROM cc JOIN sym e ON e.a = cc.node),
+       |m AS (SELECT node, min(lbl) AS lbl FROM cc GROUP BY node),
+       |comp AS (SELECT fr.doc_id, coalesce(m.lbl, fr.doc_id) AS cluster_id
+       |         FROM fr LEFT JOIN m ON m.node = fr.doc_id),
+       |pc AS (
+       |  SELECT a.doc_id AS fk, c.doc_id AS ck,
+       |         a.n_sh AS na, c.n_sh AS nb, count(*) AS inter
+       |  FROM invf a JOIN invc c ON a.sh = c.sh
+       |  GROUP BY 1, 2, 3, 4),
+       |crosse AS (
+       |  SELECT fk, ck FROM pc
+       |  WHERE inter::DOUBLE / (na + nb - inter)::DOUBLE >= 0.5
+       |  UNION SELECT a.doc_id, c.doc_id FROM fr a
+       |        JOIN cp c ON a.f = c.f),
+       |clc AS (SELECT comp.cluster_id, min(crosse.ck) AS corpus_dup
+       |        FROM crosse JOIN comp ON comp.doc_id = crosse.fk
+       |        GROUP BY 1)
+       |SELECT comp.doc_id,
+       |  (comp.cluster_id = comp.doc_id AND clc.corpus_dup IS NULL) AS keep,
+       |  coalesce(clc.corpus_dup,
+       |    CASE WHEN comp.cluster_id <> comp.doc_id THEN comp.cluster_id END,
+       |    comp.doc_id) AS resolved_to
+       |FROM comp LEFT JOIN clc ON clc.cluster_id = comp.cluster_id""".stripMargin
 
   /** Shared CTE chain building the minhash dup graph (exact-dup links +
     * inverted-index pair candidates with exact jaccard terms) — used by
@@ -1034,6 +1105,10 @@ object SparkEntry {
     // the stage-checkpointed DAG must land on the SAME decisions as the
     // one-shot pipeline — identical oracle, separately executed path
     "dedup_resumable" -> dedupClustersSql,
+
+    // snapshot-over-corpus incremental dedup, brute-forced with corpus
+    // priority (see dedupIncrementalSql scaladoc)
+    "dedup_incremental" -> dedupIncrementalSql,
 
     // brute-force simhash in SQL: FNV-1a 64 over each word's UTF-16 units
     // (HUGEINT arithmetic mod 2^64 reproduces JVM long wraparound exactly;

@@ -392,6 +392,20 @@ object Dedup {
     // DAG; at cluster scale this would be an explicit storage checkpoint.
     val (reps0, links) = collapseExact(df, keyCol, textCol)
     val reps = persistTracked(reps0)
+    lshVerifiedGraph(reps, links, keyCol, textCol, numHashes, bands,
+      jaccardThreshold, shingleN, maxBucketSize)
+  }
+
+  /** The candidate + exact-verify stages of [[minhashLshDedup]] over an
+    * already-collapsed representative set — shared with
+    * [[dedupIncremental]], which runs the same graph on a fresh snapshot
+    * before linking it against the committed corpus.
+    */
+  private def lshVerifiedGraph(reps: DataFrame, links: DataFrame,
+                               keyCol: String, textCol: String,
+                               numHashes: Int, bands: Int,
+                               jaccardThreshold: Double, shingleN: Int,
+                               maxBucketSize: Int): DataFrame = {
     // persist: the candidate set is referenced three times below (two
     // verify joins + the key-set prefilter); it is O(near-dup pairs) —
     // tiny relative to the corpus — so materializing it once is cheap
@@ -419,6 +433,104 @@ object Dedup {
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("key_a"), col("key_b"), col("jaccard"))
     verified.unionByName(links.withColumn("jaccard", lit(1.0)))
+  }
+
+  /** INCREMENTAL near-dup dedup — the recurring-crawl production shape:
+    * dedup a NEW snapshot against an already-committed corpus plus
+    * itself, touching the corpus only to derive its fingerprints and LSH
+    * band keys (both precomputable at corpus-commit time — the streaming
+    * near-dup operator persists exactly these as its state tables; at
+    * 100 TB they are corpus metadata you store once, not a per-run scan).
+    * This fills the modality gap between [[dedupResumable]] (restart ONE
+    * run) and [[graft.streaming.EventStream.streamingNearDupDedup]]
+    * (per-event ingest): batch snapshot-over-snapshot, e.g. a monthly
+    * crawl against the accumulated corpus.
+    *
+    * Semantics (corpus priority, mirroring the streaming operator's
+    * seen-state rule): fresh docs form a dup graph exactly as
+    * [[minhashLshDedup]] (exact collapse + LSH-proposed, exactly-verified
+    * near pairs); a fresh component linked to >= 1 corpus doc — by byte
+    * equality (fingerprint) or verified jaccard >= threshold — drops
+    * WHOLESALE with `dup_of` = the smallest linked corpus key (bridge
+    * members drop too, same boundary the streaming scaladoc documents);
+    * unlinked components keep their min-key member, the rest drop with
+    * `dup_of` = that member. Output: one row per fresh doc
+    * (keyCol, keep, dup_of — null for kept docs). Corpus docs get no
+    * rows: their decisions were committed when the corpus was.
+    *
+    * Scale shape: the corpus is exact-collapsed before banding (a spam
+    * cluster costs one banded rep, and linking to a rep is linking to
+    * the whole byte-equal group); cross candidates are (band, bucket)
+    * key-only joins — no text shuffles; only candidate keys are shingled
+    * (semi-join prefilter, both sides). The fresh×corpus bucket join is
+    * uncapped — exact collapse bounds structural hot buckets, but a
+    * pathological non-identical hot bucket would pay |f|x|c| pairs there
+    * (the batch operator's star-expansion cap does not apply across
+    * tables); keys must be disjoint across the two inputs (same key
+    * space, e.g. url).
+    */
+  def dedupIncremental(corpus: DataFrame, fresh: DataFrame,
+                       keyCol: String, textCol: String,
+                       numHashes: Int = 64, bands: Int = 16,
+                       jaccardThreshold: Double = 0.8,
+                       shingleN: Int = 3,
+                       maxBucketSize: Int = 1000): DataFrame = {
+    // fresh-internal dup graph + decisions: the batch pipeline, unchanged
+    val (reps0, links) = collapseExact(fresh, keyCol, textCol)
+    val reps = persistTracked(reps0)
+    val freshPairs = lshVerifiedGraph(reps, links, keyCol, textCol,
+      numHashes, bands, jaccardThreshold, shingleN, maxBucketSize)
+    val decisions = persistTracked(
+      dedupDecisions(fresh, freshPairs.select("key_a", "key_b"), keyCol))
+    // corpus side: exact-collapse, band the representatives only
+    val creps = persistTracked(collapseExact(corpus, keyCol, textCol)._1)
+    // byte-equal cross links by fingerprint — also catches texts whose
+    // shingle sets are empty (null/blank), where jaccard is undefined
+    val exactCross = reps
+      .select(col(keyCol).as("fresh_key"), col("fingerprint"))
+      .join(creps.select(col(keyCol).as("corpus_key"), col("fingerprint")),
+        Seq("fingerprint"))
+      .select(col("fresh_key"), col("corpus_key"))
+    // near cross links: shared band buckets propose (keys only), exact
+    // shingle jaccard decides — LSH proposes, it never decides
+    val fBands = bandedKeys(reps.select(col(keyCol), col(textCol)),
+      keyCol, textCol, numHashes, bands, shingleN)
+      .withColumnRenamed(keyCol, "fresh_key")
+    val cBands = bandedKeys(creps.select(col(keyCol), col(textCol)),
+      keyCol, textCol, numHashes, bands, shingleN)
+      .withColumnRenamed(keyCol, "corpus_key")
+    val crossCand = fBands.join(cBands, Seq("band", "bucket"))
+      .select(col("fresh_key"), col("corpus_key")).distinct()
+    val fShs = reps
+      .join(crossCand.select(col("fresh_key").as(keyCol)).distinct(),
+        Seq(keyCol), "left_semi")
+      .select(col(keyCol).as("fresh_key"),
+        shingles(col(textCol), shingleN).as("sa"))
+    val cShs = creps
+      .join(crossCand.select(col("corpus_key").as(keyCol)).distinct(),
+        Seq(keyCol), "left_semi")
+      .select(col(keyCol).as("corpus_key"),
+        shingles(col(textCol), shingleN).as("sb"))
+    val inter = size(array_intersect(col("sa"), col("sb"))).cast(DoubleType)
+    val crossNear = crossCand
+      .join(fShs, Seq("fresh_key")).join(cShs, Seq("corpus_key"))
+      .withColumn("jaccard", inter /
+        (size(col("sa")) + size(col("sb")) - inter).cast(DoubleType))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("fresh_key"), col("corpus_key"))
+    // component-level corpus priority: links land on fresh REPS, and a
+    // rep's link covers its byte-equal members through the component
+    val clusterCorpus = exactCross.unionByName(crossNear)
+      .join(decisions.select(col(keyCol).as("fresh_key"), col("cluster_id")),
+        Seq("fresh_key"))
+      .groupBy(col("cluster_id"))
+      .agg(min(col("corpus_key")).as("corpus_dup"))
+    decisions.join(clusterCorpus, Seq("cluster_id"), "left")
+      .select(col(keyCol),
+        (col("keep") && col("corpus_dup").isNull).as("keep"),
+        when(col("corpus_dup").isNotNull, col("corpus_dup"))
+          .when(col("cluster_id") =!= col(keyCol), col("cluster_id"))
+          .as("dup_of"))
   }
 
   /** What a resumable dedup run did: which stages computed this run and

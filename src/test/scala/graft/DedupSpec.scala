@@ -255,6 +255,70 @@ class DedupSpec extends AnyFunSuite {
     assert(tagged.getMessage.contains("inputTag=minQualityProb=0.5"))
   }
 
+  test("incremental dedup: corpus priority via exact + near cross links, " +
+    "bridge components drop wholesale, empty corpus == batch decisions") {
+    val corpus = Seq(
+      (100L, base),
+      (101L, "corpus only unique text about databases and storage engines " +
+        "operating reliably at very large scale"),
+      (102L, "")
+    ).toDF("doc_id", "text")
+    // bridge construction: mid is near the corpus doc, far is near mid but
+    // NOT near the corpus doc — the fixture proves its own premise with an
+    // independent shingle-jaccard computation
+    val bridgeMid = base.replace("quick", "swift")
+    val bridgeFar = bridgeMid.replace("deep", "dark").replace("food", "nuts")
+    def shs(t: String): Set[String] = t.split("\\s+").filter(_.nonEmpty)
+      .sliding(3).map(_.mkString(" ")).toSet
+    def jac(a: String, b: String): Double = {
+      val (x, y) = (shs(a), shs(b))
+      (x & y).size.toDouble / (x | y).size
+    }
+    assert(jac(bridgeMid, base) >= 0.5 && jac(bridgeFar, bridgeMid) >= 0.5 &&
+      jac(bridgeFar, base) < 0.5)
+    val freshUnique = "fresh snapshot document with entirely new content " +
+      "about streaming state stores and watermark semantics for late " +
+      "arriving events in long running sessions"
+    val fresh = Seq(
+      (200L, base),                                 // byte-equal to corpus 100
+      (201L, base.replace("winter", "summer")),     // near corpus 100
+      (202L, freshUnique),                          // kept fresh head
+      (203L, freshUnique),                          // fresh-internal exact dup
+      (204L, freshUnique.replace("late", "early")), // fresh-internal near dup
+      (205L, ""),                                   // fingerprint link to 102
+      (206L, "totally standalone fresh document"),  // kept
+      (207L, bridgeMid),
+      (208L, bridgeFar)                             // drops ONLY via the bridge
+    ).toDF("doc_id", "text")
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    val got = asMap(Dedup.dedupIncremental(corpus, fresh, "doc_id", "text",
+      jaccardThreshold = 0.5))
+    assert(got == Map(
+      200L -> (false, Some(100L)), 201L -> (false, Some(100L)),
+      202L -> (true, None), 203L -> (false, Some(202L)),
+      204L -> (false, Some(202L)), 205L -> (false, Some(102L)),
+      206L -> (true, None),
+      // 200/201/207/208 are ONE fresh component (successive single-word
+      // mutations chain at >= 0.5) linked to corpus 100 -> all resolve
+      // there, including 208, which has no direct corpus link
+      207L -> (false, Some(100L)), 208L -> (false, Some(100L))))
+    // empty corpus degenerates to exactly the batch pipeline's decisions
+    val inc0 = asMap(Dedup.dedupIncremental(corpus.limit(0), fresh,
+      "doc_id", "text", jaccardThreshold = 0.5))
+    val batch = Dedup.dedupDecisions(fresh,
+      Dedup.minhashLshDedup(fresh, "doc_id", "text", jaccardThreshold = 0.5)
+        .select("key_a", "key_b"), "doc_id")
+      .collect().map { r =>
+        val (id, cluster, keep) =
+          (r.getLong(0), r.getLong(1), r.getBoolean(2))
+        id -> (keep, if (keep) None else Some(cluster))
+      }.toMap
+    assert(inc0 == batch)
+    Dedup.releaseCaches()
+  }
+
   test("connected components: chain convergence, singletons, min-key labels") {
     // chain 1-2-3-4 (diameter 3 — forces multiple hash-min rounds),
     // a separate pair {10,11}, and isolated docs 5/6

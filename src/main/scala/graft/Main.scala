@@ -150,48 +150,87 @@ object Main {
     case Some("dedup") =>
       // dup-graph dedup over a documents parquet: minhash+LSH candidate
       // pairs, exact-jaccard verification, connected components ->
-      // (key, cluster_id, keep) decisions written to <outDir>
-      require(args.length >= 3,
+      // (key, cluster_id, keep) decisions written to <outDir>.
+      // --against=<corpusParquet> switches to INCREMENTAL mode: the docs
+      // parquet is a fresh snapshot deduped against that committed corpus
+      // (corpus priority; output rows are (key, keep, dup_of) for the
+      // fresh docs only)
+      val against = args.collectFirst {
+        case s if s.startsWith("--against=") =>
+          s.stripPrefix("--against=")
+      }
+      args.filter(s => s.startsWith("--") && !s.startsWith("--against="))
+        .foreach(f => sys.error(s"unknown dedup flag '$f'"))
+      val a = args.filterNot(_.startsWith("--"))
+      require(a.length >= 3,
         "usage: graft.Main dedup <docsParquet> <outDir> [jaccard] [keyCol] " +
-          "[textCol] [maxIter] [hashmin|star] [strict|besteffort]")
-      val threshold = if (args.length > 3) args(3).toDouble else 0.8
-      val keyCol = if (args.length > 4) args(4) else "doc_id"
-      val textCol = if (args.length > 5) args(5) else "text"
+          "[textCol] [maxIter] [hashmin|star] [strict|besteffort] " +
+          "[--against=<corpusParquet>]")
+      val args2 = a // positional view below
+      val threshold = if (args2.length > 3) args2(3).toDouble else 0.8
+      val keyCol = if (args2.length > 4) args2(4) else "doc_id"
+      val textCol = if (args2.length > 5) args2(5) else "text"
       // component-propagation round cap: the dup-graph construction bounds
       // cluster diameter, but a corpus with long chains of near-dup pairs
       // (serially-edited pages) can exceed it — this is the operator knob;
       // `star` switches to large-star/small-star contraction (O(log^2 n)
       // rounds regardless of diameter) for exactly those corpora
-      val maxIter = if (args.length > 6) args(6).toInt else 20
-      val algo = if (args.length > 7) args(7) else "hashmin"
+      val maxIter = if (args2.length > 6) args2(6).toInt else 20
+      val algo = if (args2.length > 7) args2(7) else "hashmin"
       // strict (default): hashmin throws if maxIter rounds don't converge;
       // besteffort: accept the labels of the last round (clusters may be
       // split, never merged wrongly) — the spark-submit escape hatch when a
       // pathological chain corpus must still produce output tonight
-      val strict = if (args.length > 8) args(8) match {
+      val strict = if (args2.length > 8) args2(8) match {
         case "strict" => true
         case "besteffort" => false
         case other => sys.error(
           s"unknown convergence mode '$other' (expected strict|besteffort)")
       } else true
       val spark = session("graft-dedup")
-      // checkpoint-resumable DAG: each stage (reps/links/cand/pairs/
-      // decisions) commits as one atomic parquet job in <outDir>_stages;
-      // a killed run restarts from the first uncommitted stage instead of
-      // recomputing the whole pipeline (the quality filter's bucket-resume
-      // protocol applied to the dedup job)
-      val docs = spark.read.parquet(args(1))
-      val (decisions, report) = graft.operators.Dedup.dedupResumable(
-        docs, keyCol, textCol, stageDir = s"${args(2)}_stages",
-        jaccardThreshold = threshold, maxIter = maxIter, strict = strict,
-        algorithm = algo)
-      decisions.write.mode("overwrite").parquet(args(2))
-      val out = spark.read.parquet(args(2))
-      val total = out.count()
-      val dropped = out.filter(!col("keep")).count()
-      println(s"dedup complete: $total docs, $dropped duplicates dropped " +
-        s"(${total - dropped} kept) at jaccard >= $threshold; stages run=" +
-        s"[${report.ran.mkString(",")}] resumed=[${report.skipped.mkString(",")}]")
+      val docs = spark.read.parquet(args2(1))
+      against match {
+        case Some(corpusPath) =>
+          // incremental: one-shot job (the corpus side is metadata-cheap:
+          // fingerprints + band keys; production would persist those at
+          // corpus-commit time rather than re-derive them per snapshot)
+          val corpus = spark.read.parquet(corpusPath)
+          graft.operators.Dedup.dedupIncremental(corpus, docs,
+            keyCol, textCol, jaccardThreshold = threshold,
+            maxIter = maxIter, strict = strict, algorithm = algo)
+            .write.mode("overwrite").parquet(args2(2))
+          val out = spark.read.parquet(args2(2))
+          val total = out.count()
+          // corpus-resolved = dropped rows whose dup_of is not a fresh key
+          // (anti-join, never a collected key list)
+          val toCorpus = out.filter(!col("keep"))
+            .join(out.select(col(keyCol).as("dup_of")), Seq("dup_of"),
+              "left_anti").count()
+          val dropped = out.filter(!col("keep")).count()
+          println(s"incremental dedup complete: $total fresh docs, " +
+            s"$dropped dropped ($toCorpus resolved to corpus docs, " +
+            s"${dropped - toCorpus} within the snapshot, " +
+            s"${total - dropped} kept) at jaccard >= $threshold")
+        case None =>
+          // checkpoint-resumable DAG: each stage (reps/links/cand/pairs/
+          // decisions) commits as one atomic parquet job in
+          // <outDir>_stages; a killed run restarts from the first
+          // uncommitted stage instead of recomputing the whole pipeline
+          // (the quality filter's bucket-resume protocol applied to the
+          // dedup job)
+          val (decisions, report) = graft.operators.Dedup.dedupResumable(
+            docs, keyCol, textCol, stageDir = s"${args2(2)}_stages",
+            jaccardThreshold = threshold, maxIter = maxIter,
+            strict = strict, algorithm = algo)
+          decisions.write.mode("overwrite").parquet(args2(2))
+          val out = spark.read.parquet(args2(2))
+          val total = out.count()
+          val dropped = out.filter(!col("keep")).count()
+          println(s"dedup complete: $total docs, $dropped duplicates " +
+            s"dropped (${total - dropped} kept) at jaccard >= $threshold; " +
+            s"stages run=[${report.ran.mkString(",")}] " +
+            s"resumed=[${report.skipped.mkString(",")}]")
+      }
       spark.stop()
 
     case Some("pipeline") =>

@@ -474,14 +474,17 @@ object Dedup {
                        numHashes: Int = 64, bands: Int = 16,
                        jaccardThreshold: Double = 0.8,
                        shingleN: Int = 3,
-                       maxBucketSize: Int = 1000): DataFrame = {
+                       maxBucketSize: Int = 1000,
+                       maxIter: Int = 20, strict: Boolean = true,
+                       algorithm: String = "hashmin"): DataFrame = {
     // fresh-internal dup graph + decisions: the batch pipeline, unchanged
     val (reps0, links) = collapseExact(fresh, keyCol, textCol)
     val reps = persistTracked(reps0)
     val freshPairs = lshVerifiedGraph(reps, links, keyCol, textCol,
       numHashes, bands, jaccardThreshold, shingleN, maxBucketSize)
     val decisions = persistTracked(
-      dedupDecisions(fresh, freshPairs.select("key_a", "key_b"), keyCol))
+      dedupDecisions(fresh, freshPairs.select("key_a", "key_b"), keyCol,
+        maxIter = maxIter, strict = strict, algorithm = algorithm))
     // corpus side: exact-collapse, band the representatives only
     val creps = persistTracked(collapseExact(corpus, keyCol, textCol)._1)
     // byte-equal cross links by fingerprint — also catches texts whose

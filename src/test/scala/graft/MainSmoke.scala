@@ -91,6 +91,32 @@ object MainSmoke {
     Main.main(Array("dedup", "/root/testdata/sf0.001/documents.parquet",
       s"$tmp/dedup", "0.5"))
 
+    // incremental dedup from the CLI: the same corpus split into a
+    // committed part and a fresh snapshot, fresh deduped --against it
+    {
+      val fx = org.apache.spark.sql.SparkSession.builder()
+        .master("local[4]").config("spark.ui.enabled", "false").getOrCreate()
+      val docs = fx.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      val isFresh = "doc_id % 4 IN (1, 2)"
+      docs.filter(s"NOT ($isFresh)").write.parquet(s"$tmp/inccorpus")
+      docs.filter(isFresh).write.parquet(s"$tmp/incfresh")
+      fx.stop()
+      val incOut = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(incOut, true)) {
+        Main.main(Array("dedup", s"$tmp/incfresh", s"$tmp/incdedup", "0.5",
+          "doc_id", "text", s"--against=$tmp/inccorpus"))
+      }
+      assert(incOut.toString.linesIterator.exists(
+        _.startsWith("incremental dedup complete: 250 fresh docs")),
+        s"unexpected incremental output:\n${incOut.toString.take(500)}")
+      // an unknown flag must fail loudly, never parse as a positional arg
+      val badFlag = try {
+        Main.main(Array("dedup", s"$tmp/incfresh", s"$tmp/incdedup",
+          "--agianst=x")); None
+      } catch { case e: RuntimeException => Some(e.getMessage) }
+      assert(badFlag.exists(_.contains("unknown dedup flag")), s"$badFlag")
+    }
+
     // eval: the acceptance metric (keep/drop F1) from the CLI. Reference
     // labels = the filter's own verdicts with ~1/50 of keeps flipped, so
     // the confusion counts are non-trivial and known independently.
@@ -178,6 +204,12 @@ object MainSmoke {
     val dd = check.read.parquet(s"$tmp/dedup")
     assert(dd.count() == 500)
     assert(dd.filter("NOT keep").count() > 0, "expected seeded dup clusters")
+    val inc = check.read.parquet(s"$tmp/incdedup")
+    assert(inc.count() == 250)
+    assert(inc.filter("NOT keep AND dup_of IS NULL").count() == 0)
+    assert(inc.filter("keep AND dup_of IS NOT NULL").count() == 0)
+    assert(inc.filter("NOT keep AND dup_of % 4 NOT IN (1, 2)").count() > 0,
+      "expected fresh docs resolved to corpus docs")
     val n = check.read.parquet(s"$tmp/out").count()
     val m = check.read.parquet(s"$tmp/metrics").count()
     val cm = new graft.sources.MetricsStore(s"$tmp/checkmetrics").read(check)

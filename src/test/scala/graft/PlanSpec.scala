@@ -100,6 +100,45 @@ class PlanSpec extends AnyFunSuite {
       s"host-count join not broadcast:\n${plan.take(2000)}")
   }
 
+  test("incremental dedup: band-bucket exchanges ship keys only — no raw " +
+    "text in any cross-candidate shuffle") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // at fixture scale every join broadcasts (no exchange to inspect);
+    // disable broadcast so the plan shows the shuffles a 100 TB run pays
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      import spark.implicits._
+      val corpus = (0L until 20L).map(i => (i, s"corpus doc number $i with " +
+        "some shared words about crawling and indexing the public web"))
+        .toDF("doc_id", "text")
+      val fresh = (100L until 120L).map(i => (i, s"fresh doc number $i " +
+        "with some shared words about crawling and indexing the public web"))
+        .toDF("doc_id", "text")
+      val out = graft.operators.Dedup.dedupIncremental(corpus, fresh,
+        "doc_id", "text", jaccardThreshold = 0.5)
+      val shuffles = out.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      val bandShuffles = shuffles.filter(
+        _.outputPartitioning.toString.contains("band"))
+      assert(bandShuffles.nonEmpty, "expected band-bucket exchanges")
+      // candidate generation shuffles (band, bucket, key) rows only: the
+      // text column reaches a shuffle exactly once per side, inside the
+      // exact-collapse aggregate — never in the LSH candidate path
+      bandShuffles.foreach { e =>
+        assert(!e.output.map(_.name).contains("text"),
+          s"band shuffle carries raw text: ${e.output.map(_.name)}")
+      }
+      graft.operators.Dedup.releaseCaches()
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prev)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
   test("dedupLines: heavy-line set probes as a broadcast ANTI join") {
     val df = SparkEntry.queries("lines_dedup")(spark, dir)
     val plan = planOf(df)

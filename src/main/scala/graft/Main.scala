@@ -159,13 +159,21 @@ object Main {
         case s if s.startsWith("--against=") =>
           s.stripPrefix("--against=")
       }
-      args.filter(s => s.startsWith("--") && !s.startsWith("--against="))
+      // --bloom-fpp=<d>: incremental-mode Bloom prefilter false-positive
+      // rate (<= 0 disables; results are identical either way — the
+      // filter only trims the corpus side before its exchanges)
+      val bloomFpp = args.collectFirst {
+        case s if s.startsWith("--bloom-fpp=") =>
+          s.stripPrefix("--bloom-fpp=").toDouble
+      }.getOrElse(0.03)
+      args.filter(s => s.startsWith("--") && !s.startsWith("--against=") &&
+          !s.startsWith("--bloom-fpp="))
         .foreach(f => sys.error(s"unknown dedup flag '$f'"))
       val a = args.filterNot(_.startsWith("--"))
       require(a.length >= 3,
         "usage: graft.Main dedup <docsParquet> <outDir> [jaccard] [keyCol] " +
           "[textCol] [maxIter] [hashmin|star] [strict|besteffort] " +
-          "[--against=<corpusParquet>]")
+          "[--against=<corpusParquet>] [--bloom-fpp=<d>]")
       val args2 = a // positional view below
       val threshold = if (args2.length > 3) args2(3).toDouble else 0.8
       val keyCol = if (args2.length > 4) args2(4) else "doc_id"
@@ -197,7 +205,8 @@ object Main {
           val corpus = spark.read.parquet(corpusPath)
           graft.operators.Dedup.dedupIncremental(corpus, docs,
             keyCol, textCol, jaccardThreshold = threshold,
-            maxIter = maxIter, strict = strict, algorithm = algo)
+            maxIter = maxIter, strict = strict, algorithm = algo,
+            bloomFpp = bloomFpp)
             .write.mode("overwrite").parquet(args2(2))
           val out = spark.read.parquet(args2(2))
           val total = out.count()

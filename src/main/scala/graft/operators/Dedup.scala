@@ -468,6 +468,25 @@ object Dedup {
     * (the batch operator's star-expansion cap does not apply across
     * tables); keys must be disjoint across the two inputs (same key
     * space, e.g. url).
+    *
+    * Bloom prefilter (the per-run scale lever): the fresh snapshot is
+    * the SMALL side of both cross joins — a daily crawl vs the
+    * accumulated corpus — so driver-built Bloom filters over the fresh
+    * side's join keys (fingerprint hash; band-bucket hash) cut the
+    * corpus side BEFORE its rows reach an exchange: a corpus rep whose
+    * fingerprint / band bucket cannot match any fresh doc drops at the
+    * scan and never pays the shuffle. A Bloom filter has false
+    * POSITIVES only, and both joins decide exactly downstream
+    * (fingerprint equality; verified shingle jaccard), so decisions are
+    * bit-identical with the prefilter on or off — DedupSpec pins the
+    * equivalence, PlanSpec pins the filter sitting below the exchange.
+    * Sizing: ~7.3 bits/item at the 3% default fpp — 10^8 fresh reps ≈
+    * 87 MB for the fingerprint filter and `bands`× that for band keys —
+    * so each filter only builds while its item count (band side:
+    * nReps·bands) stays under `bloomMaxItems`; beyond that the operator
+    * falls back to the unfiltered join for that path. `bloomFpp <= 0`
+    * disables both. Costs one `count()` + one aggregation pass over the
+    * (persisted) fresh reps at plan-construction time.
     */
   def dedupIncremental(corpus: DataFrame, fresh: DataFrame,
                        keyCol: String, textCol: String,
@@ -476,7 +495,9 @@ object Dedup {
                        shingleN: Int = 3,
                        maxBucketSize: Int = 1000,
                        maxIter: Int = 20, strict: Boolean = true,
-                       algorithm: String = "hashmin"): DataFrame = {
+                       algorithm: String = "hashmin",
+                       bloomFpp: Double = 0.03,
+                       bloomMaxItems: Long = 200000000L): DataFrame = {
     // fresh-internal dup graph + decisions: the batch pipeline, unchanged
     val (reps0, links) = collapseExact(fresh, keyCol, textCol)
     val reps = persistTracked(reps0)
@@ -487,21 +508,48 @@ object Dedup {
         maxIter = maxIter, strict = strict, algorithm = algorithm))
     // corpus side: exact-collapse, band the representatives only
     val creps = persistTracked(collapseExact(corpus, keyCol, textCol)._1)
+    // Bloom prefilters over the fresh side's join keys (see scaladoc):
+    // built eagerly here (reps is persisted, so the count materializes
+    // work the joins below need anyway), probed on the corpus side
+    // below each exchange. Both paths hash to a long first so one
+    // primitive-typed probe serves fingerprints and band buckets.
+    val session = fresh.sparkSession
+    val nReps = reps.count()
+    def bloomProbe(keys: DataFrame, expected: Long): Column => Column = {
+      val bloom = keys.stat.bloomFilter("h", math.max(expected, 1L), bloomFpp)
+      val bc = session.sparkContext.broadcast(bloom)
+      val probe = udf((h: Long) => bc.value.mightContainLong(h))
+        .withName("bloom_might_contain")
+      h => probe(h)
+    }
     // byte-equal cross links by fingerprint — also catches texts whose
     // shingle sets are empty (null/blank), where jaccard is undefined
+    val crepsForExact = if (bloomFpp > 0 && nReps <= bloomMaxItems) {
+      val keep = bloomProbe(
+        reps.select(xxhash64(col("fingerprint")).as("h")), nReps)
+      creps.filter(keep(xxhash64(col("fingerprint"))))
+    } else creps
     val exactCross = reps
       .select(col(keyCol).as("fresh_key"), col("fingerprint"))
-      .join(creps.select(col(keyCol).as("corpus_key"), col("fingerprint")),
+      .join(crepsForExact
+          .select(col(keyCol).as("corpus_key"), col("fingerprint")),
         Seq("fingerprint"))
       .select(col("fresh_key"), col("corpus_key"))
     // near cross links: shared band buckets propose (keys only), exact
     // shingle jaccard decides — LSH proposes, it never decides
-    val fBands = bandedKeys(reps.select(col(keyCol), col(textCol)),
-      keyCol, textCol, numHashes, bands, shingleN)
-      .withColumnRenamed(keyCol, "fresh_key")
-    val cBands = bandedKeys(creps.select(col(keyCol), col(textCol)),
+    val fBands = persistTracked(
+      bandedKeys(reps.select(col(keyCol), col(textCol)),
+        keyCol, textCol, numHashes, bands, shingleN)
+        .withColumnRenamed(keyCol, "fresh_key"))
+    val cBands0 = bandedKeys(creps.select(col(keyCol), col(textCol)),
       keyCol, textCol, numHashes, bands, shingleN)
       .withColumnRenamed(keyCol, "corpus_key")
+    val cBands = if (bloomFpp > 0 && nReps * bands <= bloomMaxItems) {
+      val keep = bloomProbe(
+        fBands.select(xxhash64(col("band"), col("bucket")).as("h")),
+        nReps * bands)
+      cBands0.filter(keep(xxhash64(col("band"), col("bucket"))))
+    } else cBands0
     val crossCand = fBands.join(cBands, Seq("band", "bucket"))
       .select(col("fresh_key"), col("corpus_key")).distinct()
     val fShs = reps

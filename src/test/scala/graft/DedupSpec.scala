@@ -304,6 +304,12 @@ class DedupSpec extends AnyFunSuite {
       // mutations chain at >= 0.5) linked to corpus 100 -> all resolve
       // there, including 208, which has no direct corpus link
       207L -> (false, Some(100L)), 208L -> (false, Some(100L))))
+    // the Bloom prefilter is an optimization, never a semantics change:
+    // decisions with it disabled are identical (false positives only
+    // re-admit corpus rows the exact joins discard anyway)
+    val noBloom = asMap(Dedup.dedupIncremental(corpus, fresh,
+      "doc_id", "text", jaccardThreshold = 0.5, bloomFpp = -1.0))
+    assert(noBloom == got)
     // empty corpus degenerates to exactly the batch pipeline's decisions
     val inc0 = asMap(Dedup.dedupIncremental(corpus.limit(0), fresh,
       "doc_id", "text", jaccardThreshold = 0.5))

@@ -132,6 +132,15 @@ class PlanSpec extends AnyFunSuite {
         assert(!e.output.map(_.name).contains("text"),
           s"band shuffle carries raw text: ${e.output.map(_.name)}")
       }
+      // the Bloom prefilter over the fresh side's keys must sit BELOW an
+      // exchange on the corpus side: corpus rows that cannot match any
+      // fresh fingerprint / band bucket are dropped before they shuffle
+      val bloomBelowExchange = shuffles.exists(_.collectFirst {
+        case f: org.apache.spark.sql.execution.FilterExec
+            if f.condition.toString.contains("bloom_might_contain") => f
+      }.nonEmpty)
+      assert(bloomBelowExchange,
+        "expected a bloom_might_contain filter below a shuffle exchange")
       graft.operators.Dedup.releaseCaches()
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", prev)

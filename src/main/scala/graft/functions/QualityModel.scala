@@ -9,13 +9,19 @@ package graft.functions
   * The reference engine has no model scoring at all; this follows the
   * [[LangId]] trained-head discipline the survey established:
   *
-  *  - features are EXACTLY [[LangId.meanFeaturize]]'s (same virtual
+  *  - features are [[LangId.meanFeaturize]]'s gram stream (same virtual
   *    " text " lowercase view, same FNV-1a buckets, same per-gram mean
   *    normalization), so the quality head is one more accumulator over
-  *    the gram stream the langid head already defines — NOTE the
-  *    pipeline gate scores SCRUBBED text while langid scores raw text,
-  *    so in the shipped pipeline order the two scores are separate
-  *    passes over different streams by design, not a missed fusion;
+  *    the gram stream the langid head already defines, PLUS [[HandK]]
+  *    dense hand features ([[handFeatures]]: word-bigram and
+  *    char-8-gram repetition) appended past the gram buckets — char
+  *    n-grams are structurally blind to verbatim repetition (a chunk
+  *    repeated 40x has exactly prose's gram distribution), so without
+  *    them stuffing scored prose-like (the round-6 boundary this
+  *    closes) — NOTE the pipeline gate scores SCRUBBED text while
+  *    langid scores raw text, so in the shipped pipeline order the two
+  *    scores are separate passes over different streams by design, not
+  *    a missed fusion;
   *  - training is fully deterministic, once per JVM at class init
   *    (measured ~330 ms — the same order as [[LangId]]'s ~310 ms init;
   *    per-executor, not per-task, so it vanishes against any real
@@ -98,6 +104,94 @@ object QualityModel extends Serializable {
       "*-* +-+ =-= ~!~ @!@ #!# $!$ %!% ^!^ &!& *!* <-> >=< |=| :-: " +
       "-=- _-_ .-. ,-, ;-; !-! ?-? <=> >|< [|] (|) {|} ~|~ `|` =|=")
 
+  /** Repetition junk (negative): short word chunks repeated, segmented
+    * ("w1 w2 w3 w1 w2 w3 ...") and unsegmented ("c1..c9" glued and
+    * repeated — the no-space stuffing shape). Built FROM the prose
+    * seeds' own vocabulary, so char n-grams CANNOT separate these from
+    * prose — the dense repetition features below are the only
+    * consistent signal, which forces SGD to learn them instead of
+    * memorizing junk grams. Two chunk periods (3 and 6 words) so the
+    * learned weight generalizes across repeat lengths (doc-level
+    * inference sees periods the 12-word training window cannot).
+    */
+  private[functions] val repetitionSeeds: Array[String] = {
+    val segLangs =
+      Array("en", "es", "fr", "de", "ru", "ar", "hi", "th", "ja")
+    val seg = segLangs.flatMap { l =>
+      val ws = LangId.seeds(l).split("\\s+").filter(_.nonEmpty)
+      Array(
+        Array.fill(40)(ws.take(3).mkString(" ")).mkString(" "),
+        Array.fill(20)(ws.slice(3, 9).mkString(" ")).mkString(" "))
+    }
+    val unseg = Array("zh", "ja", "th").map { l =>
+      LangId.seeds(l).replaceAll("\\s+", "").take(9) * 40
+    }
+    seg ++ unseg
+  }
+
+  /** Number of dense hand features appended past the gram buckets. */
+  private[functions] val HandK = 2
+
+  /** Dense hand features — the signals char n-grams are structurally
+    * blind to (a chunk repeated verbatim has exactly prose's gram
+    * distribution): word-BIGRAM repetition and char-8-gram repetition.
+    * Bigrams, not unigrams, for the word feature: fixture/synthetic
+    * prose drawn from a small vocabulary repeats single words heavily
+    * (coupon-collector effect) while its bigram space stays large, so
+    * the bigram rate separates verbatim repetition from vocabulary
+    * poverty. The char-8-gram twin catches unsegmented (no-space)
+    * stuffing, where there are no word bigrams at all. Both in [0,1],
+    * 0 for texts too short to form a gram; FNV-1a hashed distinct
+    * counts (deterministic; collisions only ever UNDERcount dups).
+    * One O(len) pass + two hash sets per call — this is the model
+    * scoring path, not the fused heuristic pass, so per-doc set
+    * allocation is acceptable (same order as the shingle operators).
+    */
+  private[graft] def handFeatures(text: String): Array[Float] = {
+    val n = text.length
+    // word bigrams: FNV over the two words' chars with a 0 separator
+    val bigrams = new java.util.HashSet[Integer]()
+    var totalBi = 0
+    var prevStart = -1; var prevEnd = -1
+    var wStart = -1
+    var i = 0
+    while (i <= n) {
+      val c = if (i < n) text.charAt(i) else ' '
+      if (Character.isWhitespace(c)) {
+        if (wStart >= 0) {
+          if (prevStart >= 0) {
+            var h = 0x811c9dc5
+            var j = prevStart
+            while (j < prevEnd) { h ^= text.charAt(j).toInt; h *= 0x01000193; j += 1 }
+            h ^= 0; h *= 0x01000193
+            j = wStart
+            while (j < i) { h ^= text.charAt(j).toInt; h *= 0x01000193; j += 1 }
+            bigrams.add(h); totalBi += 1
+          }
+          prevStart = wStart; prevEnd = i; wStart = -1
+        }
+      } else if (wStart < 0) wStart = i
+      i += 1
+    }
+    // char 8-grams over the raw text (spaces included: repetition of the
+    // "chunk chunk " shape repeats its spaces too)
+    val grams8 = new java.util.HashSet[Integer]()
+    var total8 = 0
+    i = 0
+    while (i + 8 <= n) {
+      var h = 0x811c9dc5
+      var j = i
+      while (j < i + 8) { h ^= text.charAt(j).toInt; h *= 0x01000193; j += 1 }
+      grams8.add(h); total8 += 1
+      i += 1
+    }
+    Array(
+      if (totalBi == 0) 0f
+      else (1.0 - bigrams.size.toDouble / totalBi).toFloat,
+      if (total8 == 0) 0f
+      else (1.0 - grams8.size.toDouble / total8).toFloat)
+  }
+
   /** Post-scrub artifact prose (positive): the pipeline scores SCRUBBED
     * text, so [[Scrub]]'s placeholder tokens inside otherwise-normal
     * prose are legitimate — without this class their angle-bracket grams
@@ -130,11 +224,15 @@ object QualityModel extends Serializable {
     */
   private[graft] lazy val weights: Array[Float] = {
     val pos = proseSeeds.iterator.flatMap(windows(_, 12, 6)).map((1, _))
-    val neg = junkSeeds.iterator.flatMap(windows(_, 12, 6)).map((0, _))
+    val neg = (junkSeeds.iterator ++ repetitionSeeds.iterator)
+      .flatMap(windows(_, 12, 6)).map((0, _))
     val examples: Array[(Int, Array[Int], Array[Float])] =
       (pos ++ neg).map { case (label, text) =>
         val (idx, vals, _) = LangId.meanFeaturize(text)
-        (label, idx, vals)
+        val hf = handFeatures(text)
+        val idx2 = idx ++ Array.tabulate(HandK)(LangId.dim + _)
+        val vals2 = vals ++ hf
+        (label, idx2, vals2)
       }.toArray
     val nPos = examples.count(_._1 == 1)
     val nNeg = examples.length - nPos
@@ -142,7 +240,7 @@ object QualityModel extends Serializable {
     // window counts per class are an artifact of seed lengths)
     val half = examples.length.toDouble / 2
     val classWeight = Array(half / nNeg, half / nPos)
-    val w = new Array[Double](LangId.dim)
+    val w = new Array[Double](LangId.dim + HandK)
     val epochs = 120
     val lr0 = 6.0
     val totalSteps = epochs.toLong * examples.length
@@ -182,6 +280,9 @@ object QualityModel extends Serializable {
     var d = 0.0
     var j = 0
     while (j < idx.length) { d += weights(idx(j)) * vals(j); j += 1 }
+    val hf = handFeatures(text)
+    var k = 0
+    while (k < HandK) { d += weights(LangId.dim + k) * hf(k); k += 1 }
     1.0 / (1.0 + StrictMath.exp(-d))
   }
 
@@ -217,6 +318,10 @@ object QualityModel extends Serializable {
       i += 1
     }
     if (grams == 0) return 0.0
-    1.0 / (1.0 + StrictMath.exp(-(acc / grams)))
+    var d = acc / grams
+    val hf = handFeatures(text)
+    var k = 0
+    while (k < HandK) { d += wq(LangId.dim + k) * hf(k); k += 1 }
+    1.0 / (1.0 + StrictMath.exp(-d))
   }
 }

@@ -23,6 +23,21 @@ class QualityModelSpec extends AnyFunSuite {
     }
   }
 
+  test("hand features: verbatim repetition reads high, prose and " +
+    "too-short texts read zero") {
+    assert(QualityModel.handFeatures("").sameElements(Array(0f, 0f)))
+    assert(QualityModel.handFeatures("one").sameElements(Array(0f, 0f)))
+    val rep = Array.fill(30)("alpha beta gamma").mkString(" ")
+    val hf = QualityModel.handFeatures(rep)
+    assert(hf(0) > 0.9f && hf(1) > 0.9f, hf.mkString(","))
+    // single-word repetition: prose bigrams are distinct even when a
+    // WORD repeats (the vocabulary-poverty robustness the scaladoc claims)
+    val prose = "the quick brown fox jumps over the lazy dog near " +
+      "the river bank today"
+    val hp = QualityModel.handFeatures(prose)
+    assert(hp(0) == 0f && hp(1) < 0.1f, hp.mkString(","))
+  }
+
   test("empty and blank text score 0.0") {
     assert(QualityModel.score(null) == 0.0)
     assert(QualityModel.score("") == 0.0)
@@ -31,18 +46,20 @@ class QualityModelSpec extends AnyFunSuite {
 
   test("held-out golden corpus: prose scores high, style junk scores low") {
     // the golden fixtures are NOT in the training set (positives are the
-    // langid seeds, negatives the frozen junk seeds) — this is a
-    // generalization test. Style junk = nav menus (12), code blocks (13),
-    // symbol soup (10). Repetition junk (stuffing 11/16, dup lines 8) is
-    // EXPECTED to score prose-like: char n-grams cannot see repetition —
-    // that is the heuristic repetition rules' job (scaladoc boundary).
+    // langid seeds, negatives the frozen junk + repetition seeds) — this
+    // is a generalization test. Junk = nav menus (12), code blocks (13),
+    // symbol soup (10), AND since the dense repetition hand features:
+    // keyword stuffing (11, incl. the empties it cycles in), dup-line
+    // boilerplate (8) and unsegmented stuffing (16) — char n-grams alone
+    // could not see any of those three (the pre-round-6 boundary).
+    // Too-short docs (9) are genuine prose, excluded from both sides.
     def cls(i: Int): Int =
       if (i >= 440) { if ((i - 440) % 10 == 9) 16 else 15 }
       else if (i >= 280) 14
       else if (i >= 240) 12 + (i % 2)
       else i % 12
     val proseCls = Set(0, 1, 2, 3, 4, 5, 6, 7, 14, 15)
-    val junkCls = Set(10, 12, 13)
+    val junkCls = Set(8, 10, 11, 12, 13, 16)
     var failures = List.empty[String]
     var nProse = 0
     var nJunk = 0

@@ -477,6 +477,15 @@ object SparkEntry {
           round(Similarity.cosine(col("va"), col("vb")), 6).as("cosine"))
     }),
 
+    // SemDeDup-style semantic dedup: deterministic IVF cells (same md5
+    // centroid sample as ann_ivf), within-cell cosine pairs, min-key
+    // component representatives. Threshold 0.35 because the synthetic
+    // embeddings are near-orthogonal (max in-cell cosine ~0.49): the
+    // gate must see non-trivial components, not an all-keep identity
+    "dedup_semantic" -> ((s, dir) =>
+      Similarity.semanticDedup(t(s, dir, "embeddings"), "vec_id",
+        "embedding", k = 8, cosineThreshold = 0.35)),
+
     // ---- quality-filter pipeline over synthesized pages ----
     "scrub_pii" -> ((s, dir) => pagesP(s, dir)
       .select(col("url"), Scrub.scrub(col("text")).as("scrubbed_text"))),
@@ -1232,6 +1241,39 @@ object SparkEntry {
         |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)
         |  AS cosine
         |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1""".stripMargin,
+
+    // same deterministic cells as ann_ivf (md5-strided centroid sample,
+    // first-maximal tie-break), within-cell cosine edges, recursive-SQL
+    // transitive closure, min-key representative per component
+    "dedup_semantic" ->
+      """WITH RECURSIVE
+        |c AS (SELECT
+        |        row_number() OVER (ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT ASC) - 1 AS cell,
+        |        embedding::DOUBLE[] AS cv
+        |      FROM embeddings
+        |      ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT ASC
+        |      LIMIT 8),
+        |assign AS (
+        |  SELECT e.vec_id, c.cell, e.embedding::DOUBLE[] AS v,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_dot_product(e.embedding::DOUBLE[], cv) /
+        |        (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+        |         sqrt(list_dot_product(cv, cv))) DESC, c.cell ASC) AS rk
+        |  FROM embeddings e CROSS JOIN c),
+        |a2 AS (SELECT vec_id, cell, v FROM assign WHERE rk = 1),
+        |edges0 AS (
+        |  SELECT a.vec_id AS key_a, b.vec_id AS key_b
+        |  FROM a2 a JOIN a2 b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE list_dot_product(a.v, b.v) /
+        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35),
+        |sym AS (SELECT key_a AS a, key_b AS b FROM edges0
+        |        UNION SELECT key_b, key_a FROM edges0),
+        |cc AS (SELECT a AS node, a AS lbl FROM sym
+        |       UNION SELECT e.b, cc.lbl FROM cc JOIN sym e ON e.a = cc.node),
+        |m AS (SELECT node, min(lbl) AS lbl FROM cc GROUP BY node)
+        |SELECT vec_id, coalesce(m.lbl, vec_id) AS cluster_id,
+        |  coalesce(m.lbl, vec_id) = vec_id AS keep
+        |FROM embeddings LEFT JOIN m ON m.node = vec_id""".stripMargin,
 
     "scrub_pii" ->
       s"""WITH $pagesCte

@@ -223,4 +223,38 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .distinct()
   }
+
+  /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * partition the embedding space into cells, call two documents
+    * duplicates when their cosine within a cell crosses
+    * `cosineThreshold`, connect components, keep the min-key
+    * representative per component. Cells are the deterministic
+    * [[ivfIndex]] assignment (md5-strided seed centroids, no RNG — the
+    * DuckDB oracle re-derives the identical partition; first-maximal
+    * tie-break both sides). Scale shape: choosing k ~ sqrt(N) bounds
+    * expected cell size to ~sqrt(N), so pair work is O(N^1.5) cosines
+    * instead of O(N^2), and the only exchange keys vectors by cell
+    * (dims*4 bytes each — far lighter than shuffling text). Cross-cell
+    * near-duplicates are missed BY CONSTRUCTION — the recall boundary
+    * SemDeDup itself accepts; raise k only with the trained index
+    * ([[ivfIndexTrained]]) if cell balance degrades.
+    * Output: one row per doc — (keyCol, cluster_id, keep), exactly
+    * [[Dedup.dedupDecisions]]'s contract.
+    */
+  def semanticDedup(emb: DataFrame, keyCol: String, vecCol: String,
+                    k: Int = 16, cosineThreshold: Double = 0.95,
+                    maxIter: Int = 20, strict: Boolean = true,
+                    algorithm: String = "hashmin"): DataFrame = {
+    val (assigned, _) = ivfIndex(emb, keyCol, vecCol, k)
+    val a = assigned.select(col("__cell"), col(keyCol).as("key_a"),
+      col(vecCol).as("__va"))
+    val b = assigned.select(col("__cell"), col(keyCol).as("key_b"),
+      col(vecCol).as("__vb"))
+    val pairs = a.join(b, Seq("__cell"))
+      .filter(col("key_a") < col("key_b"))
+      .filter(cosine(col("__va"), col("__vb")) >= cosineThreshold)
+      .select(col("key_a"), col("key_b"))
+    Dedup.dedupDecisions(emb.select(col(keyCol)), pairs, keyCol,
+      maxIter = maxIter, strict = strict, algorithm = algorithm)
+  }
 }

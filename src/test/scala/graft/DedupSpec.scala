@@ -456,6 +456,29 @@ class SimilaritySpec extends AnyFunSuite {
       (i % 7) * 0.1f, 0.5f))
   }.toDF("vec_id", "embedding")
 
+  test("semantic dedup: planted near-identical vectors collapse to the " +
+    "min key; mid-angle and lone vectors keep") {
+    val planted = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.999f, 0.01f, 0.0f, 0.0f)), // near-dup of 0
+      (2L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Seq(0.01f, 0.999f, 0.0f, 0.0f)), // near-dup of 2
+      (4L, Seq(0.0f, 0.0f, 1.0f, 0.0f)),    // alone in its direction
+      (5L, Seq(0.7f, 0.7f, 0.0f, 0.0f))     // cos ~0.71 to 0 and 2: kept
+    ).toDF("vec_id", "embedding")
+    // k = 1: one cell, so this pins the THRESHOLD/component semantics
+    // exactly (the cell partition itself is pinned by the dedup_semantic
+    // gate oracle, which re-derives the md5 centroids in SQL)
+    val got = Similarity.semanticDedup(planted, "vec_id", "embedding",
+      k = 1, cosineThreshold = 0.95)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got == Map(
+      0L -> ((0L, true)), 1L -> ((0L, false)),
+      2L -> ((2L, true)), 3L -> ((2L, false)),
+      4L -> ((4L, true)), 5L -> ((5L, true))))
+  }
+
   test("brute-force top-k: query's own vector ranks first with score 1") {
     val q = vecs.filter(col("vec_id") === 0).head().getSeq[Float](1)
       .map(_.toDouble)

@@ -148,6 +148,49 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("bloom prefilter measurably shrinks the corpus-side band shuffle " +
+    "(SQL metrics, bloom on vs off)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      import spark.implicits._
+      // disjoint vocabularies: fresh band buckets miss (almost) every
+      // corpus band bucket, so the bloom filter should drop (almost) the
+      // whole corpus side before its exchange
+      val corpus = (0L until 100L).map(i => (i, s"corpus page $i entirely " +
+        s"about warehouse shelving logistics pallet $i forklift routing " +
+        s"manifest ${i * 7} dock scheduling yard management")).toDF("doc_id", "text")
+      val fresh = (1000L until 1010L).map(i => (i, s"fresh page $i on " +
+        s"tidepool ecology barnacle $i anemone zonation substrate " +
+        s"${i * 3} wave exposure gradients")).toDF("doc_id", "text")
+      def bandShuffleBytes(bloomFpp: Double): Long = {
+        val out = graft.operators.Dedup.dedupIncremental(corpus, fresh,
+          "doc_id", "text", jaccardThreshold = 0.5, bloomFpp = bloomFpp)
+        out.collect()
+        val bytes = out.queryExecution.executedPlan.collect {
+          case e: ShuffleExchangeExec
+              if e.outputPartitioning.toString.contains("band") =>
+            e.metrics.get("dataSize").map(_.value).getOrElse(0L)
+        }.sum
+        graft.operators.Dedup.releaseCaches()
+        bytes
+      }
+      val withBloom = bandShuffleBytes(0.03)
+      val noBloom = bandShuffleBytes(-1.0)
+      assert(withBloom > 0 && noBloom > 0, s"$withBloom / $noBloom")
+      // the fresh side's band rows are identical in both runs, so any
+      // drop is corpus rows cut below the exchange; demand a real one
+      assert(withBloom * 2 < noBloom,
+        s"bloom did not shrink the band shuffle: $withBloom vs $noBloom")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prev)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
   test("dedupLines: heavy-line set probes as a broadcast ANTI join") {
     val df = SparkEntry.queries("lines_dedup")(spark, dir)
     val plan = planOf(df)

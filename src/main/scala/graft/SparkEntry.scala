@@ -285,6 +285,14 @@ object SparkEntry {
       col("doc_id"), Heuristics.fingerprintMd5(col("text")).as("fingerprint"),
       Heuristics.rollingHash(col("text")).as("rolling_hash"))),
 
+    // token counting, three estimators: whitespace words, the simple
+    // letter/digit/punct regex, and the GPT-2-shaped BPE-ish pattern
+    "text_tokens" -> ((s, dir) => tp(s, dir, "documents").select(
+      col("doc_id"),
+      Heuristics.wordCount(col("text")).as("ws_tokens"),
+      Heuristics.tokenCount(col("text")).as("regex_tokens"),
+      Heuristics.bpeTokenCount(col("text")).as("bpe_tokens"))),
+
     // langid + perplexity: model measures, not SQL-expressible (rows-only)
     "text_langid" -> ((s, dir) =>
       graft.functions.ModelScores.withScores(
@@ -1069,6 +1077,17 @@ object SparkEntry {
          |  round(CASE WHEN ns::DOUBLE / greatest(dl, 1)::DOUBLE >= 0.3
          |    THEN c4 ELSE rep END, 6) AS repetition_adaptive
          |FROM w2""".stripMargin,
+
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  len(list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+        |      x -> length(x) > 0)) AS ws_tokens,
+        |  len(regexp_extract_all(coalesce(text, ''),
+        |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS regex_tokens,
+        |  len(regexp_extract_all(coalesce(text, ''),
+        |      '''(s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^ \t\n\r\f\p{L}\p{N}]+'))
+        |    AS bpe_tokens
+        |FROM documents""".stripMargin,
 
     // rolling hash re-derived in SQL: base-31 polynomial mod 1e9+7
     "text_fingerprint" ->

@@ -129,6 +129,25 @@ object Heuristics {
       length(regexp_replace(t, "[A-Za-z0-9\\s]", ""))
   }
 
+  /** BPE-ish token count: the GPT-2 pre-tokenizer shape — contraction
+    * splits ('s 't 're 've 'm 'll 'd), optionally space-prefixed Unicode
+    * letter and number runs, punctuation runs — minus Python's trailing
+    * lookahead, counted as regex matches (whitespace runs are skipped,
+    * not counted). The estimation path for token budgets/sampling
+    * weights: a byte-level BPE's true count tracks this within a small
+    * constant on natural text. Kept as ONE declarative pattern so the
+    * DuckDB oracle runs the identical regex (RE2 and java.util.regex
+    * agree on leftmost-first alternation and \p{L}/\p{N}); the
+    * whitespace class is spelled explicitly because the engines' \s
+    * differ (Java adds \x0B). NOT for the fused hot loop — JDK
+    * alternation scaling pathology, BENCH.md wall #5; [[tokenCount]]
+    * above shows the decomposed formulation that scales.
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(coalesce(text, lit("")),
+      lit("'(s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^ \\t\\n\\r\\f\\p{L}\\p{N}]+"),
+      lit(0)))
+
   /** Symbol characters per word. "Symbol" = not a Unicode letter, digit or
     * whitespace (`\p{L}\p{N}` — an ASCII-only class would count every
     * accented or CJK character as a symbol and silently turn the quality

@@ -21,6 +21,8 @@ import graft.sources.{MetricsStore, SampleGenerator}
   *                      [buckets] [jaccard] [configYaml]
   *                      [--block-host=a,b] [--ban-url=x,y]
   *                      [--max-docs-per-host=N]
+  *   graft.Main semdedup <embParquet> <outDir> [cosine] [k] [keyCol]
+  *                      [vecCol]
   *   graft.Main eval    <predParquet> <refParquet> [keyCol] [labelCol]
   *
   * `run` executes every check in the config against the parquet tables in
@@ -285,6 +287,30 @@ object Main {
       println(report.json)
       spark.stop()
 
+    case Some("semdedup") =>
+      // SemDeDup-style semantic dedup over an embeddings parquet:
+      // deterministic IVF cells, within-cell cosine edges, min-key
+      // representative per component -> (key, cluster_id, keep)
+      require(args.length >= 3,
+        "usage: graft.Main semdedup <embParquet> <outDir> [cosine] [k] " +
+          "[keyCol] [vecCol]")
+      val threshold = if (args.length > 3) args(3).toDouble else 0.95
+      val k = if (args.length > 4) args(4).toInt else 16
+      val keyCol = if (args.length > 5) args(5) else "vec_id"
+      val vecCol = if (args.length > 6) args(6) else "embedding"
+      val spark = session("graft-semdedup")
+      graft.operators.Similarity.semanticDedup(
+        spark.read.parquet(args(1)), keyCol, vecCol,
+        k = k, cosineThreshold = threshold)
+        .write.mode("overwrite").parquet(args(2))
+      val out = spark.read.parquet(args(2))
+      val total = out.count()
+      val dropped = out.filter(!col("keep")).count()
+      println(s"semantic dedup complete: $total docs, $dropped semantic " +
+        s"duplicates dropped (${total - dropped} kept) at cosine >= " +
+        s"$threshold in $k cells")
+      spark.stop()
+
     case Some("eval") =>
       // acceptance-metric measurement from spark-submit: keep/drop F1 of a
       // predicted-verdicts parquet against a reference-labels parquet,
@@ -310,7 +336,7 @@ object Main {
       // must error as such, not start a filter job against wrong paths.
       if (first != "filter" && !new java.io.File(first).isDirectory)
         sys.error(s"unknown subcommand '$first' " +
-          "(expected run|compile|sample|filter|pipeline|dedup|eval, or an existing " +
+          "(expected run|compile|sample|filter|pipeline|dedup|semdedup|eval, or an existing " +
           "pagesDir for the legacy positional filter form)")
       val a = if (first == "filter") args.drop(1) else args
       require(a.length >= 4,
@@ -337,6 +363,6 @@ object Main {
       spark.stop()
 
     case None =>
-      sys.error("usage: graft.Main run|compile|sample|filter|pipeline|dedup|eval ...")
+      sys.error("usage: graft.Main run|compile|sample|filter|pipeline|dedup|semdedup|eval ...")
   }
 }

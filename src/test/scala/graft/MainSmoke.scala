@@ -117,6 +117,26 @@ object MainSmoke {
       assert(badFlag.exists(_.contains("unknown dedup flag")), s"$badFlag")
     }
 
+    // semdedup: semantic dedup over the fixture embeddings from the CLI;
+    // at cosine >= 0.35 in 8 cells the synthetic embeddings form
+    // non-trivial components (same shape the dedup_semantic gate pins)
+    {
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(out, true)) {
+        Main.main(Array("semdedup",
+          "/root/testdata/sf0.001/embeddings.parquet", s"$tmp/semdedup",
+          "0.35", "8"))
+      }
+      val line = out.toString.linesIterator
+        .find(_.startsWith("semantic dedup complete")).getOrElse(
+          sys.error(s"semdedup printed nothing:\n${out.toString.take(500)}"))
+      val dropped = "(\\d+) semantic\\b".r.findFirstMatchIn(line)
+        .map(_.group(1).toLong).getOrElse(sys.error(s"bad line: $line"))
+      assert(line.contains("500 docs") && dropped > 0 && dropped < 500,
+        s"semdedup not discriminating: $line")
+      println(s"SEMDEDUP subcommand OK: $line")
+    }
+
     // eval: the acceptance metric (keep/drop F1) from the CLI. Reference
     // labels = the filter's own verdicts with ~1/50 of keeps flipped, so
     // the confusion counts are non-trivial and known independently.

@@ -191,6 +191,49 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed tables: same-key same-count bucketing makes the join " +
+    "shuffle-free") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      graft.sources.Bucketed.save(
+        docs.select("doc_id", "text"), "plan_bkt_docs", "doc_id", 8)
+      graft.sources.Bucketed.save(
+        docs.select(col("doc_id"), length(coalesce(col("text"), lit("")))
+          .as("doc_len")), "plan_bkt_len", "doc_id", 8)
+      val j = graft.sources.Bucketed.colocatedJoin(spark,
+        "plan_bkt_docs", "plan_bkt_len", "doc_id")
+      assert(j.count() == docs.count())
+      val shuffles = j.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(shuffles.isEmpty, "bucketed join still shuffles:\n" +
+        j.queryExecution.executedPlan.toString.take(2000))
+      // control: the same join over plain parquet DOES shuffle — the
+      // bucketed layout, not fixture size, is what removed the exchange
+      val plainA = spark.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text")
+      val plainB = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), length(coalesce(col("text"), lit("")))
+          .as("doc_len"))
+      val pj = plainA.join(plainB, Seq("doc_id"))
+      pj.count()
+      val plainShuffles = pj.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(plainShuffles.nonEmpty, "control join did not shuffle")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS plan_bkt_docs")
+      spark.sql("DROP TABLE IF EXISTS plan_bkt_len")
+      spark.conf.set("spark.sql.adaptive.enabled", prev)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
   test("dedupLines: heavy-line set probes as a broadcast ANTI join") {
     val df = SparkEntry.queries("lines_dedup")(spark, dir)
     val plan = planOf(df)

@@ -285,6 +285,26 @@ object SparkEntry {
       col("doc_id"), Heuristics.fingerprintMd5(col("text")).as("fingerprint"),
       Heuristics.rollingHash(col("text")).as("rolling_hash"))),
 
+    // URL canonicalization over deterministically-constructed messy urls
+    // (mixed-case scheme/host, default ports, tracking params, fragments,
+    // a non-URL passthrough row) — both engines build the SAME inputs
+    // from doc_id, so the oracle tests the normalizer, not the fixture
+    "url_normalize" -> ((s, dir) => {
+      val m = col("doc_id") % 4
+      val raw = when(m === 0, concat(lit("HTTPS://Example"),
+          col("doc_id") % 5, lit(".COM:443/Path/"), col("doc_id"),
+          lit("?utm_source=x&b="), col("doc_id") % 3,
+          lit("&a=1&fbclid=zz#frag")))
+        .when(m === 1, concat(lit("http://WWW.Site"), col("doc_id") % 7,
+          lit(".org:80")))
+        .when(m === 2, concat(lit("https://cdn.Host.net/a//b/"),
+          col("doc_id"), lit("?z=9&y="), col("doc_id") % 2,
+          lit("&utm_campaign=c")))
+        .otherwise(concat(lit("not a url "), col("doc_id")))
+      t(s, dir, "documents").select(col("doc_id"), raw.as("raw_url"),
+        graft.operators.Curation.normalizeUrl(raw).as("normalized_url"))
+    }),
+
     // token counting, three estimators: whitespace words, the simple
     // letter/digit/punct regex, and the GPT-2-shaped BPE-ish pattern
     "text_tokens" -> ((s, dir) => tp(s, dir, "documents").select(
@@ -1077,6 +1097,52 @@ object SparkEntry {
          |  round(CASE WHEN ns::DOUBLE / greatest(dl, 1)::DOUBLE >= 0.3
          |    THEN c4 ELSE rep END, 6) AS repetition_adaptive
          |FROM w2""".stripMargin,
+
+    "url_normalize" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE (doc_id % 4)
+        |      WHEN 0 THEN 'HTTPS://Example' || (doc_id % 5)::VARCHAR ||
+        |        '.COM:443/Path/' || doc_id::VARCHAR || '?utm_source=x&b=' ||
+        |        (doc_id % 3)::VARCHAR || '&a=1&fbclid=zz#frag'
+        |      WHEN 1 THEN 'http://WWW.Site' || (doc_id % 7)::VARCHAR || '.org:80'
+        |      WHEN 2 THEN 'https://cdn.Host.net/a//b/' || doc_id::VARCHAR ||
+        |        '?z=9&y=' || (doc_id % 2)::VARCHAR || '&utm_campaign=c'
+        |      ELSE 'not a url ' || doc_id::VARCHAR
+        |    END AS raw_url
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, raw_url,
+        |    lower(regexp_extract(raw_url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    regexp_replace(raw_url, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+        |  FROM u),
+        |n2 AS (
+        |  SELECT *, lower(regexp_extract(rest, '^([^/?#]*)', 1)) AS auth0,
+        |    regexp_replace(rest, '^[^/?#]*', '') AS after_auth FROM n),
+        |n3 AS (
+        |  SELECT *,
+        |    CASE WHEN scheme = 'http' THEN regexp_replace(auth0, ':80$', '')
+        |         WHEN scheme = 'https' THEN regexp_replace(auth0, ':443$', '')
+        |         ELSE auth0 END AS auth,
+        |    regexp_replace(after_auth, '#.*$', '') AS nofrag FROM n2),
+        |n4 AS (
+        |  SELECT *, regexp_extract(nofrag, '^([^?]*)', 1) AS path,
+        |    regexp_extract(nofrag, '\?(.*)$', 1) AS query FROM n3),
+        |n5 AS (
+        |  SELECT *, coalesce(array_to_string(list_sort(list_filter(
+        |      string_split(query, '&'),
+        |      p -> p <> '' AND NOT regexp_matches(p,
+        |        '^(utm_[^=]*|fbclid|gclid|msclkid|ref)(=.*)?$'))), '&'), '')
+        |    AS sortedq
+        |  FROM n4)
+        |SELECT doc_id, raw_url,
+        |  CASE WHEN NOT regexp_matches(raw_url, '^[A-Za-z][A-Za-z0-9+.-]*://')
+        |    THEN raw_url
+        |    ELSE scheme || '://' || auth ||
+        |      (CASE WHEN path = '' THEN '/' ELSE path END) ||
+        |      (CASE WHEN sortedq = '' THEN '' ELSE '?' || sortedq END)
+        |  END AS normalized_url
+        |FROM n5""".stripMargin,
 
     "text_tokens" ->
       """SELECT doc_id,

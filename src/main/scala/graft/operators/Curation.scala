@@ -252,6 +252,54 @@ object Curation {
   }
 
   /** Lower-cased authority component of the url. */
+  /** Parameter names stripped by [[normalizeUrl]] (name-anchored regex:
+    * `utm_*` prefix plus the common click identifiers). Frozen so the
+    * DuckDB oracle and the Spark expression share one alternation.
+    */
+  private[operators] val trackingParamPattern: String =
+    "^(utm_[^=]*|fbclid|gclid|msclkid|ref)(=.*)?$"
+
+  /** URL canonicalization — the step before any URL-keyed dedup or host
+    * accounting, so byte-different spellings of one page collapse:
+    *
+    *  1. scheme and authority lowercase; default port stripped
+    *     (`:80` for http, `:443` for https);
+    *  2. fragment dropped;
+    *  3. tracking params removed ([[trackingParamPattern]]), surviving
+    *     params sorted byte-wise and rejoined (the '?' disappears when
+    *     none survive);
+    *  4. an empty path becomes '/' (so `https://a.com` ==
+    *     `https://a.com/`).
+    *
+    * Paths and parameter VALUES are left byte-identical — %-decoding or
+    * case-folding there changes which resource is named. Inputs without
+    * a `scheme://` prefix (and NULLs) pass through untouched: curation
+    * must never invent structure. Pure Catalyst expressions (regexes +
+    * array ops — codegen-friendly, no UDF), and every rule is
+    * re-derivable in SQL, so the gate oracle runs the identical
+    * normalization.
+    */
+  def normalizeUrl(url: Column): Column = {
+    val schemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+    val scheme = lower(regexp_extract(url, schemeRe, 1))
+    val rest = regexp_replace(url, schemeRe, "")
+    val auth0 = lower(regexp_extract(rest, "^([^/?#]*)", 1))
+    val auth = when(scheme === "http", regexp_replace(auth0, ":80$", ""))
+      .when(scheme === "https", regexp_replace(auth0, ":443$", ""))
+      .otherwise(auth0)
+    val afterAuth = regexp_replace(rest, "^[^/?#]*", "")
+    val noFrag = regexp_replace(afterAuth, "#.*$", "")
+    val path = regexp_extract(noFrag, "^([^?]*)", 1)
+    val query = regexp_extract(noFrag, "\\?(.*)$", 1)
+    val params = filter(split(query, "&"),
+      p => p =!= "" && !p.rlike(trackingParamPattern))
+    val sortedQ = array_join(array_sort(params), "&")
+    val pathNorm = when(path === "", lit("/")).otherwise(path)
+    val rebuilt = concat(scheme, lit("://"), auth, pathNorm,
+      when(sortedQ === "", lit("")).otherwise(concat(lit("?"), sortedQ)))
+    when(url.isNull || !url.rlike(schemeRe), url).otherwise(rebuilt)
+  }
+
   private def hostOf(urlCol: String): Column =
     lower(regexp_extract(col(urlCol),
       "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1))

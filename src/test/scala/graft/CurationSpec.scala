@@ -74,6 +74,30 @@ class CurationSpec extends AnyFunSuite {
 
   // ---- urlFilter ----
 
+  test("normalizeUrl: case/ports/tracking/fragment rules, byte-exact " +
+    "passthrough for non-URLs and non-default ports") {
+    val rows = Seq(
+      // stripping is name-case-sensitive (utm_ convention is lowercase);
+      // surviving params sort byte-wise, so 'UTM_source' < 'k'
+      "HTTP://A.com:80/x?UTM_source=1&k=2&utm_x=3#f",
+      "https://a.com:8443/x",  // non-default port: kept
+      "ftp://Host:21/X",       // non-http(s): host lowered, port untouched
+      "mailto:someone@x.y",    // no '://': byte-exact passthrough
+      "https://b.org?ref=abc", // empty path -> '/', all params stripped
+      null
+    ).toDF("u").select(col("u"),
+      Curation.normalizeUrl(col("u")).as("n"))
+    val got = rows.collect().map(r =>
+      Option(r.getString(0)).orNull -> Option(r.getString(1)).orNull).toMap
+    assert(got("HTTP://A.com:80/x?UTM_source=1&k=2&utm_x=3#f") ==
+      "http://a.com/x?UTM_source=1&k=2")
+    assert(got("https://a.com:8443/x") == "https://a.com:8443/x")
+    assert(got("ftp://Host:21/X") == "ftp://host:21/X")
+    assert(got("mailto:someone@x.y") == "mailto:someone@x.y")
+    assert(got("https://b.org?ref=abc") == "https://b.org/")
+    assert(got(null) == null)
+  }
+
   test("urlFilter: blocklist covers subdomains, reasons take precedence") {
     val pages = Seq(
       "https://spam.example.com/a",          // exact blocklist hit

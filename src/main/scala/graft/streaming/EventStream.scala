@@ -191,11 +191,22 @@ object EventStream {
     * write and the checkpoint commit) must decide against exactly the
     * state it saw the first time, never against its own partial output.
     * Missing dir = empty state (schema taken from `like`).
+    *
+    * `retainBatches` is the dedup HORIZON: only the most recent N state
+    * batches are consulted (`batch >= batchId - N`), so state reads stay
+    * bounded no matter how old the stream is — `batch` is a partition
+    * column, so the range filter prunes whole directories at the source
+    * and aged-out batches cost nothing (physically deleting them is an
+    * offline compaction concern, not a correctness one). The default is
+    * unbounded (full-history dedup).
     */
   private def priorState(spark: SparkSession, dir: String, batchId: Long,
-                         like: DataFrame): DataFrame =
+                         like: DataFrame,
+                         retainBatches: Long = Long.MaxValue): DataFrame =
     if (new java.io.File(dir).exists())
-      spark.read.parquet(dir).filter(col("batch") < batchId)
+      spark.read.parquet(dir)
+        .filter(col("batch") < batchId &&
+          col("batch") >= math.max(0L, batchId - retainBatches))
         .drop("batch")
     else like.limit(0)
 
@@ -225,10 +236,22 @@ object EventStream {
     * decisions are written to batch-keyed dirs (overwrite = idempotent
     * re-execution), and a re-executed batch reads only winners from
     * batches before it, so its decisions are byte-identical.
+    *
+    * `retainBatches` bounds the state consulted per batch (the
+    * "dedup against the last N crawls" production shape — without a
+    * horizon, a years-old stream joins every batch against its whole
+    * history). The horizon is FIRST-SEEN-based: a winner ages out when
+    * the batch that admitted it does, and later duplicates do NOT
+    * refresh it (they append nothing to the winners table), so a text
+    * recurring past the horizon is re-admitted as a fresh winner —
+    * documented boundary, pinned in ConfigAndStreamingSpec; a
+    * production deployment that wants LRU semantics would periodically
+    * compact the winners table with refreshed batch keys instead.
     */
   def streamingContentDedup(spark: SparkSession, pagesDir: String,
                             outDir: String,
-                            checkpointDir: String): DataFrame = {
+                            checkpointDir: String,
+                            retainBatches: Long = Long.MaxValue): DataFrame = {
     val winnersDir = s"$outDir/_winners"
     val q = spark.readStream.schema(graft.sources.Pages.schema)
       .parquet(pagesDir)
@@ -241,7 +264,8 @@ object EventStream {
         val spark2 = batch.sparkSession
         val newWinners = batch.groupBy(col("fingerprint"))
           .agg(min(col("url")).as("winner"))
-        val prior = priorState(spark2, winnersDir, batchId, newWinners)
+        val prior = priorState(spark2, winnersDir, batchId, newWinners,
+          retainBatches)
         val decisions = batch
           .join(prior.select(col("fingerprint"),
               col("winner"), lit(false).as("is_new"))
@@ -301,13 +325,17 @@ object EventStream {
     * Scale: state joins are shuffle joins against O(seen x bands) keys
     * and O(seen) shingle sets on storage — the price of re-checkable
     * history a stream cannot re-read; per-batch CC is bounded by the
-    * micro-batch. Re-execution idempotency as in streamingContentDedup.
+    * micro-batch. `retainBatches` bounds BOTH state tables to the last N
+    * batches (partition-pruned reads; same first-seen horizon semantics
+    * and boundary as streamingContentDedup). Re-execution idempotency as
+    * in streamingContentDedup.
     */
   def streamingNearDupDedup(spark: SparkSession, pagesDir: String,
                             outDir: String, checkpointDir: String,
                             jaccardThreshold: Double = 0.8,
                             numHashes: Int = 64, bands: Int = 16,
-                            shingleN: Int = 3): DataFrame = {
+                            shingleN: Int = 3,
+                            retainBatches: Long = Long.MaxValue): DataFrame = {
     import graft.operators.Dedup
     val bandsDir = s"$outDir/_bands"
     val seenDir = s"$outDir/_seen"
@@ -324,9 +352,10 @@ object EventStream {
           numHashes, bands, shingleN).persist()
         val newShs = batch.select(col("url"),
           Dedup.shingles(col("text"), shingleN).as("shs")).persist()
-        val priorBands = priorState(spark2, bandsDir, batchId, newBands)
+        val priorBands = priorState(spark2, bandsDir, batchId, newBands,
+          retainBatches)
         val priorSeen = priorState(spark2, seenDir, batchId,
-          newShs.withColumn("cluster_id", col("url")))
+          newShs.withColumn("cluster_id", col("url")), retainBatches)
 
         def jac(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
           val inter = size(array_intersect(a, b)).cast("double")

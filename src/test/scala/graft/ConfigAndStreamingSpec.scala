@@ -525,6 +525,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(all == d1 ++ Map("u1" -> false, "u2" -> true, "u8" -> false))
   }
 
+  test("streaming content dedup horizon: retainBatches bounds the state " +
+    "consulted; a text recurring past the horizon is re-admitted") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("scdh").toString
+    def pages(rows: Seq[(String, String)]) =
+      rows.toDF("url", "text")
+        .select(col("url"),
+          lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).as("warc_ts"),
+          lit(null).cast("binary").as("html"), col("text"),
+          lit("en").as("lang"))
+    def run(): Map[String, Boolean] =
+      graft.streaming.EventStream.streamingContentDedup(spark,
+        s"$tmp/in", s"$tmp/out", s"$tmp/ckpt", retainBatches = 1L)
+        .select("url", "keep")
+        .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    // batch 0 admits the winner; batch 1 (within the 1-batch horizon)
+    // drops the duplicate and appends NO new winner for it
+    pages(Seq("u3" -> "text A")).write.parquet(s"$tmp/in")
+    assert(run() == Map("u3" -> true))
+    pages(Seq("u7" -> "text A")).write.mode("append").parquet(s"$tmp/in")
+    assert(run() == Map("u3" -> true, "u7" -> false))
+    // batch 2: only batch 1's (empty) winners are in the horizon — the
+    // batch-0 winner has aged out and duplicates never refreshed it
+    // (first-seen horizon, the documented boundary), so the text is
+    // RE-ADMITTED as a fresh winner
+    pages(Seq("u9" -> "text A")).write.mode("append").parquet(s"$tmp/in")
+    assert(run() ==
+      Map("u3" -> true, "u7" -> false, "u9" -> true))
+  }
+
   test("streaming NEAR-dup dedup: a later near-duplicate (jaccard >= 0.8, " +
     "not byte-equal) is dropped across a restart; decisions agree with " +
     "the batch LSH pipeline") {

@@ -514,6 +514,19 @@ object SparkEntry {
       Similarity.semanticDedup(t(s, dir, "embeddings"), "vec_id",
         "embedding", k = 8, cosineThreshold = 0.35)),
 
+    // incremental semantic dedup: fresh = vec_id%4 in (1,2), corpus
+    // priority, shared corpus-derived cells (same split/shape as
+    // dedup_incremental's text twin)
+    "dedup_semantic_incremental" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val isFresh = col("vec_id") % 4 === 1 || col("vec_id") % 4 === 2
+      Similarity.semanticDedupIncremental(e.filter(!isFresh),
+        e.filter(isFresh), "vec_id", "embedding",
+        k = 8, cosineThreshold = 0.35)
+        .select(col("vec_id"), col("keep"),
+          coalesce(col("dup_of"), col("vec_id")).as("resolved_to"))
+    }),
+
     // ---- quality-filter pipeline over synthesized pages ----
     "scrub_pii" -> ((s, dir) => pagesP(s, dir)
       .select(col("url"), Scrub.scrub(col("text")).as("scrubbed_text"))),
@@ -1143,6 +1156,62 @@ object SparkEntry {
         |      (CASE WHEN sortedq = '' THEN '' ELSE '?' || sortedq END)
         |  END AS normalized_url
         |FROM n5""".stripMargin,
+
+    // brute-force twin of semanticDedupIncremental on the same split:
+    // corpus-derived cells, within-cell cosine edges among fresh docs
+    // close transitively, a component with any fresh-corpus edge resolves
+    // to its smallest linked corpus key, otherwise min-key wins
+    "dedup_semantic_incremental" ->
+      """WITH RECURSIVE
+        |eall AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |fr AS (SELECT * FROM eall WHERE vec_id % 4 IN (1, 2)),
+        |cp AS (SELECT * FROM eall WHERE vec_id % 4 NOT IN (1, 2)),
+        |c AS (SELECT
+        |        row_number() OVER (ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT ASC) - 1 AS cell,
+        |        v AS cv
+        |      FROM cp
+        |      ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT ASC
+        |      LIMIT 8),
+        |af AS (SELECT vec_id, cell, v FROM (
+        |    SELECT f.vec_id, c.cell, f.v,
+        |      row_number() OVER (PARTITION BY f.vec_id
+        |        ORDER BY list_dot_product(f.v, cv) /
+        |          (sqrt(list_dot_product(f.v, f.v)) * sqrt(list_dot_product(cv, cv))) DESC,
+        |          c.cell ASC) AS rk
+        |    FROM fr f CROSS JOIN c) WHERE rk = 1),
+        |ac AS (SELECT vec_id, cell, v FROM (
+        |    SELECT p.vec_id, c.cell, p.v,
+        |      row_number() OVER (PARTITION BY p.vec_id
+        |        ORDER BY list_dot_product(p.v, cv) /
+        |          (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(cv, cv))) DESC,
+        |          c.cell ASC) AS rk
+        |    FROM cp p CROSS JOIN c) WHERE rk = 1),
+        |edges0 AS (
+        |  SELECT a.vec_id AS key_a, b.vec_id AS key_b
+        |  FROM af a JOIN af b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE list_dot_product(a.v, b.v) /
+        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35),
+        |sym AS (SELECT key_a AS a, key_b AS b FROM edges0
+        |        UNION SELECT key_b, key_a FROM edges0),
+        |cc AS (SELECT a AS node, a AS lbl FROM sym
+        |       UNION SELECT e.b, cc.lbl FROM cc JOIN sym e ON e.a = cc.node),
+        |m AS (SELECT node, min(lbl) AS lbl FROM cc GROUP BY node),
+        |comp AS (SELECT fr.vec_id, coalesce(m.lbl, fr.vec_id) AS cluster_id
+        |         FROM fr LEFT JOIN m ON m.node = fr.vec_id),
+        |crosse AS (
+        |  SELECT a.vec_id AS fk, b.vec_id AS ck
+        |  FROM af a JOIN ac b ON a.cell = b.cell
+        |  WHERE list_dot_product(a.v, b.v) /
+        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35),
+        |clc AS (SELECT comp.cluster_id, min(crosse.ck) AS corpus_dup
+        |        FROM crosse JOIN comp ON comp.vec_id = crosse.fk
+        |        GROUP BY 1)
+        |SELECT comp.vec_id,
+        |  (comp.cluster_id = comp.vec_id AND clc.corpus_dup IS NULL) AS keep,
+        |  coalesce(clc.corpus_dup,
+        |    CASE WHEN comp.cluster_id <> comp.vec_id THEN comp.cluster_id END,
+        |    comp.vec_id) AS resolved_to
+        |FROM comp LEFT JOIN clc ON clc.cluster_id = comp.cluster_id""".stripMargin,
 
     "text_tokens" ->
       """SELECT doc_id,

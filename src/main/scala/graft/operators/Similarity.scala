@@ -106,24 +106,39 @@ object Similarity {
     * scale shape: centroids broadcast, assignment is a narrow map, the
     * search touches ~probes/K of the data.
     */
-  def ivfIndex(df: DataFrame, keyCol: String, vecCol: String,
-               k: Int = 16): (DataFrame, Array[Array[Double]]) = {
-    // deterministic centroid sample: the k rows with the smallest
-    // md5-derived key hash — md5 (not xxhash64) so the DuckDB oracle
-    // selects the IDENTICAL centroids
+  /** Deterministic centroid sample: the k rows with the smallest
+    * md5-derived key hash — md5 (not xxhash64) so the DuckDB oracle
+    * selects the IDENTICAL centroids.
+    */
+  private[operators] def sampleCentroids(df: DataFrame, keyCol: String,
+                                         vecCol: String, k: Int)
+      : Array[Array[Double]] = {
     val keyHash = conv(substring(md5(col(keyCol).cast(StringType)), 1, 15),
       16, 10).cast(LongType)
-    val centroids = df
-      .withColumn("__h", keyHash)
+    df.withColumn("__h", keyHash)
       .orderBy(col("__h")).limit(k)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    val cLit = array(centroids.toIndexedSeq.map(c => array(c.toIndexedSeq.map(lit): _*)): _*)
-    // nearest centroid by cosine, as a pure Column expression
+  }
+
+  /** Nearest-centroid `__cell` assignment (first maximal cosine wins —
+    * the same tie-break the oracle's `ORDER BY score DESC, cell ASC`
+    * re-derives), centroids broadcast as literals: a narrow map, no
+    * shuffle.
+    */
+  private[operators] def assignCells(df: DataFrame, vecCol: String,
+                                     centroids: Array[Array[Double]])
+      : DataFrame = {
+    val cLit = array(centroids.toIndexedSeq.map(c =>
+      array(c.toIndexedSeq.map(lit): _*)): _*)
     val scores = transform(cLit, c => cosine(col(vecCol), c))
-    val assigned = df.withColumn("__cell",
-      array_position(scores, array_max(scores)) - 1)
-    (assigned, centroids)
+    df.withColumn("__cell", array_position(scores, array_max(scores)) - 1)
+  }
+
+  def ivfIndex(df: DataFrame, keyCol: String, vecCol: String,
+               k: Int = 16): (DataFrame, Array[Array[Double]]) = {
+    val centroids = sampleCentroids(df, keyCol, vecCol, k)
+    (assignCells(df, vecCol, centroids), centroids)
   }
 
   /** K-means-refined IVF index: the md5-strided sample centroids of
@@ -256,5 +271,76 @@ object Similarity {
       .select(col("key_a"), col("key_b"))
     Dedup.dedupDecisions(emb.select(col(keyCol)), pairs, keyCol,
       maxIter = maxIter, strict = strict, algorithm = algorithm)
+  }
+
+  /** INCREMENTAL semantic dedup — [[Dedup.dedupIncremental]]'s
+    * snapshot-over-corpus shape in embedding space: dedup a fresh
+    * embedding snapshot against a committed corpus plus itself, corpus
+    * priority. Cells come from the CORPUS's deterministic centroid
+    * sample ([[sampleCentroids]] — at production scale centroids are
+    * corpus metadata committed once, like the incremental text dedup's
+    * band keys), and BOTH sides assign to those shared cells, so
+    * fresh-corpus candidate pairs are exactly the within-cell pairs. An
+    * empty corpus falls back to fresh-derived centroids, making the
+    * operator degenerate to [[semanticDedup]]'s decisions (spec-pinned).
+    *
+    * Semantics (mirroring the text twin): fresh docs form a dup graph
+    * (within-cell cosine >= threshold); a fresh component linked to any
+    * corpus doc at threshold resolves WHOLESALE to the smallest linked
+    * corpus key; unlinked components keep their min-key member. Output:
+    * one row per fresh doc (keyCol, keep, dup_of — null for kept).
+    * Corpus docs get no rows: their decisions were committed with the
+    * corpus. Keys must be disjoint across the two inputs.
+    *
+    * Scale shape: one exchange per side keyed by cell; the corpus pays
+    * its assignment scan per run (precompute it with the corpus, like
+    * the band keys) and only same-cell corpus vectors meet a fresh
+    * vector. Cross-cell misses are the SemDeDup recall boundary, same
+    * as the batch operator.
+    */
+  def semanticDedupIncremental(corpus: DataFrame, fresh: DataFrame,
+                               keyCol: String, vecCol: String,
+                               k: Int = 16, cosineThreshold: Double = 0.95,
+                               maxIter: Int = 20, strict: Boolean = true,
+                               algorithm: String = "hashmin"): DataFrame = {
+    val centroids = {
+      val fromCorpus = sampleCentroids(corpus, keyCol, vecCol, k)
+      if (fromCorpus.nonEmpty) fromCorpus
+      else sampleCentroids(fresh, keyCol, vecCol, k)
+    }
+    val fa = assignCells(fresh, vecCol, centroids)
+      .select(col("__cell"), col(keyCol), col(vecCol))
+    val ca = assignCells(corpus, vecCol, centroids)
+      .select(col("__cell"), col(keyCol).as("corpus_key"),
+        col(vecCol).as("__vc"))
+    // fresh-internal dup graph + decisions
+    val ffPairs = fa.select(col("__cell"), col(keyCol).as("key_a"),
+        col(vecCol).as("__va"))
+      .join(fa.select(col("__cell"), col(keyCol).as("key_b"),
+        col(vecCol).as("__vb")), Seq("__cell"))
+      .filter(col("key_a") < col("key_b"))
+      .filter(cosine(col("__va"), col("__vb")) >= cosineThreshold)
+      .select(col("key_a"), col("key_b"))
+    val decisions = Dedup.dedupDecisions(fresh.select(col(keyCol)),
+      ffPairs, keyCol, maxIter = maxIter, strict = strict,
+      algorithm = algorithm)
+    // fresh-corpus links within shared cells; component-level corpus
+    // priority exactly as the text twin
+    val cross = fa.select(col("__cell"), col(keyCol).as("fresh_key"),
+        col(vecCol).as("__va"))
+      .join(ca, Seq("__cell"))
+      .filter(cosine(col("__va"), col("__vc")) >= cosineThreshold)
+      .select(col("fresh_key"), col("corpus_key"))
+    val clusterCorpus = cross
+      .join(decisions.select(col(keyCol).as("fresh_key"), col("cluster_id")),
+        Seq("fresh_key"))
+      .groupBy(col("cluster_id"))
+      .agg(min(col("corpus_key")).as("corpus_dup"))
+    decisions.join(clusterCorpus, Seq("cluster_id"), "left")
+      .select(col(keyCol),
+        (col("keep") && col("corpus_dup").isNull).as("keep"),
+        when(col("corpus_dup").isNotNull, col("corpus_dup"))
+          .when(col("cluster_id") =!= col(keyCol), col("cluster_id"))
+          .as("dup_of"))
   }
 }

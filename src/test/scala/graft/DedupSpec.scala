@@ -479,6 +479,42 @@ class SimilaritySpec extends AnyFunSuite {
       4L -> ((4L, true)), 5L -> ((5L, true))))
   }
 
+  test("incremental semantic dedup: corpus priority, component-wholesale " +
+    "drops, empty corpus degenerates to the batch decisions") {
+    val corpus = Seq(
+      (100L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (101L, Seq(0.0f, 1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val fresh = Seq(
+      (200L, Seq(0.999f, 0.01f, 0.0f, 0.0f)),  // near corpus 100
+      (201L, Seq(0.998f, 0.02f, 0.0f, 0.0f)),  // near 200 -> same component
+      (202L, Seq(0.0f, 0.0f, 1.0f, 0.0f)),     // unlinked head: kept
+      (203L, Seq(0.0f, 0.01f, 0.999f, 0.0f)),  // near 202 -> dup_of 202
+      (204L, Seq(0.0f, 0.0f, 0.0f, 1.0f))      // standalone: kept
+    ).toDF("vec_id", "embedding")
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+    val got = asMap(Similarity.semanticDedupIncremental(corpus, fresh,
+      "vec_id", "embedding", k = 1, cosineThreshold = 0.95))
+    assert(got == Map(
+      200L -> ((false, Some(100L))), 201L -> ((false, Some(100L))),
+      202L -> ((true, None)), 203L -> ((false, Some(202L))),
+      204L -> ((true, None))))
+    // empty corpus: fresh-derived centroids, decisions == the batch
+    // operator's (keep equal; dup_of = cluster for dropped docs)
+    val inc0 = asMap(Similarity.semanticDedupIncremental(corpus.limit(0),
+      fresh, "vec_id", "embedding", k = 1, cosineThreshold = 0.95))
+    val batch = Similarity.semanticDedup(fresh, "vec_id", "embedding",
+      k = 1, cosineThreshold = 0.95).collect()
+      .map { r =>
+        val (id, cluster, keep) =
+          (r.getLong(0), r.getLong(1), r.getBoolean(2))
+        id -> ((keep, if (keep) None else Some(cluster)))
+      }.toMap
+    assert(inc0 == batch)
+  }
+
   test("brute-force top-k: query's own vector ranks first with score 1") {
     val q = vecs.filter(col("vec_id") === 0).head().getSeq[Float](1)
       .map(_.toDouble)

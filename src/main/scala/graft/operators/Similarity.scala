@@ -110,7 +110,7 @@ object Similarity {
     * md5-derived key hash — md5 (not xxhash64) so the DuckDB oracle
     * selects the IDENTICAL centroids.
     */
-  private[operators] def sampleCentroids(df: DataFrame, keyCol: String,
+  private[graft] def sampleCentroids(df: DataFrame, keyCol: String,
                                          vecCol: String, k: Int)
       : Array[Array[Double]] = {
     val keyHash = conv(substring(md5(col(keyCol).cast(StringType)), 1, 15),
@@ -126,7 +126,7 @@ object Similarity {
     * re-derives), centroids broadcast as literals: a narrow map, no
     * shuffle.
     */
-  private[operators] def assignCells(df: DataFrame, vecCol: String,
+  private[graft] def assignCells(df: DataFrame, vecCol: String,
                                      centroids: Array[Array[Double]])
       : DataFrame = {
     val cLit = array(centroids.toIndexedSeq.map(c =>

@@ -415,6 +415,107 @@ object EventStream {
     spark.read.parquet(outDir)
   }
 
+  /** STREAMING SEMANTIC DEDUP — the SemDeDup shape
+    * ([[graft.operators.Similarity.semanticDedup]]) on an embedding
+    * ingest stream, completing the dedup matrix (exact / near / semantic
+    * x batch / incremental / streaming): first-seen-wins per embedding
+    * neighborhood, explicit keep decisions per document.
+    *
+    * Cells MUST be stable across batches (they are the state's join
+    * key space), so centroids come from a STATIC `centroidSource` frame
+    * sampled once at job start ([[graft.operators.Similarity]]'s
+    * deterministic md5-strided sample — at production scale this is the
+    * committed corpus's centroid metadata, exactly what the incremental
+    * twin uses); a restart re-derives the identical centroids from the
+    * same source.
+    *
+    * Per micro-batch, against one batch-keyed state table
+    * (`_seen/batch=N`: vec key, cell, vector, cluster_id):
+    *  1. assign the batch to cells (narrow map, centroids broadcast);
+    *  2. new-vs-seen: same-cell join against state, exact cosine >=
+    *     threshold decides, min seen cluster per new key;
+    *  3. new-vs-new: same-cell pairs within the batch, cosine-verified,
+    *     connected components;
+    *  4. a component linked to history adopts the min seen cluster;
+    *     otherwise its min key keeps and labels the rest.
+    *
+    * Scale: state joins touch only same-cell vectors (k ~ sqrt(N) cells
+    * bound the per-cell candidate set); `retainBatches` horizon and
+    * batch-keyed idempotent re-execution exactly as
+    * [[streamingContentDedup]]. Boundary: like the batch operator,
+    * cross-cell near-duplicates are missed by construction, and like
+    * the near-dup stream, a bridge arriving in a LATER batch cannot
+    * merge two already-decided clusters.
+    */
+  def streamingSemanticDedup(spark: SparkSession, embDir: String,
+                             outDir: String, checkpointDir: String,
+                             centroidSource: DataFrame,
+                             keyCol: String = "vec_id",
+                             vecCol: String = "embedding",
+                             k: Int = 16,
+                             cosineThreshold: Double = 0.95,
+                             retainBatches: Long = Long.MaxValue): DataFrame = {
+    import graft.operators.{Dedup, Similarity}
+    val seenDir = s"$outDir/_seen"
+    val centroids = Similarity.sampleCentroids(centroidSource, keyCol,
+      vecCol, k)
+    require(centroids.nonEmpty, "centroidSource is empty — supply the " +
+      "corpus (or any non-empty frame) the cells should derive from")
+    val schema = StructType(Seq(
+      StructField(keyCol, LongType),
+      StructField(vecCol, ArrayType(FloatType))))
+    val q = spark.readStream.schema(schema).parquet(embDir)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch0: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        val spark2 = batch0.sparkSession
+        val assigned = Similarity.assignCells(batch0, vecCol, centroids)
+          .select(col(keyCol), col("__cell"), col(vecCol)).persist()
+        val priorSeen = priorState(spark2, seenDir, batchId,
+          assigned.withColumn("cluster_id", col(keyCol)), retainBatches)
+        val cos = Similarity.cosine(col(vecCol), col("__seen_v"))
+        val seenLinks = assigned
+          .join(priorSeen.select(col(keyCol).as("__seen_key"),
+              col("__cell"), col(vecCol).as("__seen_v"),
+              col("cluster_id")),
+            Seq("__cell"))
+          .filter(cos >= cosineThreshold)
+          .groupBy(col(keyCol))
+          .agg(min(col("cluster_id")).as("seen_cluster"))
+        val nnPairs = assigned
+          .select(col("__cell"), col(keyCol).as("key_a"),
+            col(vecCol).as("__va"))
+          .join(assigned.select(col("__cell"), col(keyCol).as("key_b"),
+            col(vecCol).as("__vb")), Seq("__cell"))
+          .filter(col("key_a") < col("key_b"))
+          .filter(Similarity.cosine(col("__va"), col("__vb")) >=
+            cosineThreshold)
+          .select(col("key_a"), col("key_b"))
+        val comp = assigned.select(col(keyCol).as("node"))
+          .join(Dedup.connectedComponents(nnPairs), Seq("node"), "left")
+          .select(col("node").as(keyCol),
+            coalesce(col("cluster_id"), col("node")).as("comp"))
+        val compSeen = comp.join(seenLinks, Seq(keyCol), "left")
+          .groupBy(col("comp"))
+          .agg(min(col("seen_cluster")).as("comp_seen"))
+        val decisions = comp.join(compSeen, Seq("comp"))
+          .select(col(keyCol),
+            coalesce(col("comp_seen"), col("comp")).as("cluster_id"))
+          .withColumn("keep", col("cluster_id") === col(keyCol))
+        decisions.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        assigned.join(decisions.select(col(keyCol), col("cluster_id")),
+            Seq(keyCol))
+          .write.mode("overwrite").parquet(s"$seenDir/batch=$batchId")
+        assigned.unpersist()
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(outDir)
+  }
+
   /** Stateful streaming 2: custom per-key running totals via
     * mapGroupsWithState — the KeyValueGroupedDataset state-machine shape
     * for logic built-in aggregations can't express.

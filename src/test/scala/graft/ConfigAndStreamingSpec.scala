@@ -556,6 +556,43 @@ class StreamingSpec extends AnyFunSuite {
       Map("u3" -> true, "u7" -> false, "u9" -> true))
   }
 
+  test("streaming SEMANTIC dedup: same-cell cosine duplicates drop, " +
+    "first-seen wins across a restart, static corpus-derived cells") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("ssd").toString
+    val x = Seq(1.0f, 0.0f, 0.0f, 0.0f)
+    val z = Seq(0.0f, 1.0f, 0.0f, 0.0f)
+    val w = Seq(0.0f, 0.0f, 1.0f, 0.0f)
+    // cells derive from a STATIC source (the committed corpus's centroid
+    // metadata in production) — stable across batches and restarts
+    val centroidSource = Seq((0L, x), (1L, z), (2L, w))
+      .toDF("vec_id", "embedding")
+    def run(): Map[Long, Boolean] =
+      graft.streaming.EventStream.streamingSemanticDedup(spark,
+        s"$tmp/in", s"$tmp/out", s"$tmp/ckpt", centroidSource,
+        k = 3, cosineThreshold = 0.95)
+        .select("vec_id", "keep")
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // batch 1: near-identical pair in one cell + a lone vector
+    Seq((10L, x), (11L, Seq(0.999f, 0.01f, 0.0f, 0.0f)), (12L, z))
+      .toDF("vec_id", "embedding").write.parquet(s"$tmp/in")
+    assert(run() == Map(10L -> true, 11L -> false, 12L -> true))
+    // batch 2 after a RESTART: a smaller key repeating x's neighborhood
+    // still loses (first-seen wins; streams can't revisit history), a
+    // genuinely new direction keeps
+    Seq((5L, Seq(0.998f, 0.02f, 0.0f, 0.0f)), (20L, w))
+      .toDF("vec_id", "embedding").write.mode("append").parquet(s"$tmp/in")
+    assert(run() == Map(10L -> true, 11L -> false, 12L -> true,
+      5L -> false, 20L -> true))
+    // NOTE deliberately no batch-operator comparison here: semanticDedup
+    // derives cells from its INPUT (k centroids sampled from the batch —
+    // on a 3-vector batch at k=3 every vector is its own cell, so no
+    // pairs form), while the stream's cells are corpus metadata. The two
+    // agree when given the same cells — that is what
+    // semanticDedupIncremental's empty-corpus degeneracy spec pins.
+  }
+
   test("streaming NEAR-dup dedup: a later near-duplicate (jaccard >= 0.8, " +
     "not byte-equal) is dropped across a restart; decisions agree with " +
     "the batch LSH pipeline") {

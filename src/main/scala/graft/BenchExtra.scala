@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted}
+
+/** Round-7 measurement harness (guide §1: measure first; §1.4: noop sink).
+  * Separate from the FROZEN `graft.Bench` so the driver contract is
+  * untouched. Per headline query: N interleaved passes with a noop sink,
+  * min-of-N seconds, plus job/stage/task counts and total shuffle bytes
+  * from a listener — the attribution data the optimization loop needs
+  * (an sf0.1 corpus is small enough that stage COUNT, not data volume,
+  * dominates several queries).
+  *
+  * Usage:
+  *   sbt "runMain graft.BenchExtra"                 # time all headline queries
+  *   sbt "runMain graft.BenchExtra explain"         # dump plans to plans/r07
+  *   sbt "runMain graft.BenchExtra time <q1,q2>"    # time a subset
+  *   SPARK_GRAFT_BENCH_PASSES=5                     # passes (default 3)
+  */
+object BenchExtra {
+
+  private def session(cpus: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(s"graft-benchextra-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", (1 << 21).toString)
+      .config("spark.sql.files.openCostInBytes", "0")
+      .config("spark.sql.parquet.columnarReaderBatchSize", "512")
+      .config("spark.memory.offHeap.enabled", "true")
+      .config("spark.memory.offHeap.size", "4g")
+      .config("spark.sql.columnVector.offheap.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def force(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  private def time(body: => Unit): Double = {
+    val t0 = System.nanoTime()
+    body
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private val headline = Seq(
+    "pipeline_full", "pipeline_verdict", "scrub_pii",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "ann_topk", "q_check_sum_time", "q_check_anomaly", "q_join_revenue",
+    "q_event_window", "text_quality")
+
+  final class Counter extends SparkListener {
+    @volatile var jobs = 0
+    @volatile var stages = 0
+    @volatile var tasks = 0
+    @volatile var shuffleWriteBytes = 0L
+    override def onJobStart(j: SparkListenerJobStart): Unit = jobs += 1
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+      stages += 1
+      tasks += sc.stageInfo.numTasks
+      shuffleWriteBytes += sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
+    }
+    def reset(): Unit = { jobs = 0; stages = 0; tasks = 0; shuffleWriteBytes = 0L }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    val mode = args.headOption.getOrElse("time")
+    val names: Seq[String] =
+      if (args.length > 1) args(1).split(",").toSeq else headline
+
+    val s = session(cpus)
+    mode match {
+      case "explain" =>
+        val outDir = sys.env.getOrElse("SPARK_GRAFT_PLAN_DIR",
+          "/root/repo/plans/r07")
+        val suffix = sys.env.getOrElse("SPARK_GRAFT_PLAN_SUFFIX", "before")
+        new java.io.File(outDir).mkdirs()
+        names.foreach { name =>
+          val df = SparkEntry.queries(name)(s, sfDir)
+          val plan = df.queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$outDir/${name}_$suffix.txt"),
+            plan.getBytes("UTF-8"))
+          println(s"wrote $outDir/${name}_$suffix.txt")
+        }
+      case _ =>
+        val counter = new Counter
+        s.sparkContext.addSparkListener(counter)
+        // warm-up: JVM/codegen first-run cost excluded, same as Bench
+        force(SparkEntry.queries("pipeline_full")(s, sfDir))
+        val best = scala.collection.mutable.Map.empty[String, Double]
+          .withDefaultValue(Double.MaxValue)
+        val meta = scala.collection.mutable.Map.empty[String, (Int, Int, Int, Long)]
+        (1 to passes).foreach { p =>
+          names.foreach { name =>
+            val fn = SparkEntry.queries(name)
+            counter.reset()
+            val t = time { force(fn(s, sfDir)) }
+            if (t < best(name)) {
+              best(name) = t
+              meta(name) = (counter.jobs, counter.stages, counter.tasks,
+                counter.shuffleWriteBytes)
+            }
+          }
+        }
+        val qs = names.map { n =>
+          val (j, st, ta, sh) = meta(n)
+          s""""$n":{"sec":${f"${best(n)}%.4f"},"jobs":$j,"stages":$st,""" +
+            s""""tasks":$ta,"shuffle_mb":${f"${sh / 1e6}%.2f"}}"""
+        }.mkString("{", ",", "}")
+        val total = names.map(best(_)).sum
+        println(s"""{"metric":"extra","total_sec":${f"$total%.4f"},"queries":$qs,"sf":"$sfDir","passes":$passes}""")
+    }
+    s.stop()
+  }
+}

@@ -276,19 +276,32 @@ object Dedup {
     * (not 5*10^11 pairs) and one representative in every downstream
     * near-dup stage — this is what keeps LSH buckets small at 100 TB,
     * because exact duplicates otherwise all land in identical buckets.
-    * Shuffles: one on the 16-byte fingerprint (agg) + one fingerprint
-    * join for the links; raw text never shuffles.
+    * Shuffles: one narrow hash aggregate on the 16-byte fingerprint
+    * (fingerprint, min-key, count — map-side combinable), one fingerprint
+    * join attaching the representative's text (the only text-carrying
+    * exchange; the old any_value(text) aggregate moved the same bytes but
+    * as a SortAggregate with two full sorts), and one narrow fingerprint
+    * join for the links.
     */
   def collapseExact(df: DataFrame, keyCol: String, textCol: String)
       : (DataFrame, DataFrame) = {
     val withFp = df.select(col(keyCol), col(textCol),
       md5(coalesce(col(textCol), lit(""))).as("fingerprint"))
-    val reps = withFp.groupBy(col("fingerprint"))
-      .agg(min(col(keyCol)).as(keyCol),
-        any_value(col(textCol)).as(textCol),
-        count(lit(1)).as("dup_count"))
-    val links = withFp.join(
-        reps.select(col("fingerprint"), col(keyCol).as("__rep")),
+    // round-7: the old formulation aggregated `any_value(textCol)` — a
+    // string-typed aggregation buffer, which HashAggregateExec cannot hold
+    // (buffers must be mutable fixed-width types), so EVERY dedup operator
+    // paid a SortAggregate with two full sorts of text rows by
+    // fingerprint. Aggregate only narrow columns (hash aggregate,
+    // map-side combinable) and fetch the representative's text back with
+    // one fingerprint join — all dup copies are byte-equal, so the rep
+    // row's own text is exactly what any_value returned.
+    val g = withFp.groupBy(col("fingerprint"))
+      .agg(min(col(keyCol)).as("__rep"), count(lit(1)).as("dup_count"))
+    val reps = withFp.join(g, Seq("fingerprint"))
+      .filter(col(keyCol) === col("__rep"))
+      .select(col("fingerprint"), col(keyCol), col(textCol), col("dup_count"))
+    val links = withFp.select(col(keyCol), col("fingerprint"))
+      .join(reps.select(col("fingerprint"), col(keyCol).as("__rep")),
         Seq("fingerprint"))
       .filter(col(keyCol) =!= col("__rep"))
       .select(col("__rep").as("key_a"), col(keyCol).as("key_b"))
@@ -419,9 +432,10 @@ object Dedup {
     // are a tiny fraction of documents, so this drops the verify stage's
     // text work by orders of magnitude (shingling the whole corpus to
     // verify a handful of pairs was the round-2 scale gap).
+    // no .distinct() on the exploded keys: left_semi dedups by definition,
+    // so the extra exchange+aggregate bought nothing (round-7)
     val candKeys = cand
       .select(explode(array(col("key_a"), col("key_b"))).as(keyCol))
-      .distinct()
     val shs = reps.join(candKeys, Seq(keyCol), "left_semi")
       .select(col(keyCol), shingles(col(textCol), shingleN).as("shs"))
     val inter = size(array_intersect(col("sa"), col("sb"))).cast(DoubleType)
@@ -552,13 +566,14 @@ object Dedup {
     } else cBands0
     val crossCand = fBands.join(cBands, Seq("band", "bucket"))
       .select(col("fresh_key"), col("corpus_key")).distinct()
+    // semi-join prefilters need no .distinct() on the probe side (round-7)
     val fShs = reps
-      .join(crossCand.select(col("fresh_key").as(keyCol)).distinct(),
+      .join(crossCand.select(col("fresh_key").as(keyCol)),
         Seq(keyCol), "left_semi")
       .select(col(keyCol).as("fresh_key"),
         shingles(col(textCol), shingleN).as("sa"))
     val cShs = creps
-      .join(crossCand.select(col("corpus_key").as(keyCol)).distinct(),
+      .join(crossCand.select(col("corpus_key").as(keyCol)),
         Seq(keyCol), "left_semi")
       .select(col(keyCol).as("corpus_key"),
         shingles(col(textCol), shingleN).as("sb"))
@@ -685,7 +700,6 @@ object Dedup {
     val pairs = stage("pairs") {
       val candKeys = cand
         .select(explode(array(col("key_a"), col("key_b"))).as(keyCol))
-        .distinct()
       val shs = reps.join(candKeys, Seq(keyCol), "left_semi")
         .select(col(keyCol), shingles(col(textCol), shingleN).as("shs"))
       val inter = size(array_intersect(col("sa"), col("sb"))).cast(DoubleType)

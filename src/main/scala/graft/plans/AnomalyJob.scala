@@ -59,25 +59,32 @@ object AnomalyJob {
   /** Same statistics in ONE shuffle via the typed MadAggregate (the
     * two-pass variant above shuffles the history twice: once for the
     * median, once for MAD). Output schema matches madZScore.
+    *
+    * Round-7: the aggregator is applied through `functions.udaf` in a
+    * plain `groupBy(dim)` instead of the Dataset `groupByKey` path. The
+    * typed path inserted two AppendColumns nodes (whole-row object
+    * (de)serialization per input row) and keyed the exchange on a
+    * serialized string key, so the upstream history-cap window's hash
+    * partitioning on the SAME dimension could never be reused; the
+    * untyped groupBy keys on the native column — no object conversion,
+    * and the planner drops the second exchange when the child is already
+    * partitioned by `dim`.
     */
+  private lazy val madUdaf = udaf(MadAggregate.agg,
+    org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaDouble,
+      org.apache.spark.sql.Encoders.scalaLong))
+
   def madZScoreSinglePass(history: DataFrame, dim: Option[String]): DataFrame = {
-    val spark = history.sparkSession
-    import spark.implicits._
-    val keyed = history.select(
-      dim.map(d => col(d).cast("string")).getOrElse(lit("__all__")).as("__k"),
-      col("actual_value"), unix_micros(col("run_time")).as("__ts"))
-      .as[(String, Double, Long)]
-    val stats = keyed.groupByKey(_._1)
-      .mapValues(r => (r._2, r._3))
-      .agg(MadAggregate.column)
-      .toDF("__k", "s")
-      .select(col("__k"), col("s.median").as("med"), col("s.mad").as("mad"),
-        col("s.last").as("last_value"), col("s.n").as("n"))
-    val withDim = dim match {
-      case Some(d) => stats.withColumnRenamed("__k", d)
-      case None    => stats.drop("__k")
+    val s = madUdaf(col("actual_value"), unix_micros(col("run_time"))).as("s")
+    val stats = dim match {
+      case Some(d) => history.groupBy(col(d)).agg(s)
+      case None    => history.agg(s)
     }
-    withDim.withColumn("z_score",
+    val unpacked = stats.select(dim.toSeq.map(col) ++ Seq(
+      col("s.median").as("med"), col("s.mad").as("mad"),
+      col("s.last").as("last_value"), col("s.n").as("n")): _*)
+    unpacked.withColumn("z_score",
       when(floor(col("mad")) === 0, lit(0.0))
         .otherwise(lit(0.6745) * (col("last_value") - col("med")) / col("mad")))
       .select((dim.toSeq.map(col) ++ Seq(col("med"), col("last_value"),

@@ -168,9 +168,30 @@ object Main {
         case s if s.startsWith("--bloom-fpp=") =>
           s.stripPrefix("--bloom-fpp=").toDouble
       }.getOrElse(0.03)
+      // --write-corpus-meta=<dir>: treat <docsParquet> as a committed
+      // corpus and write its incremental-dedup metadata (exact-collapse
+      // representative fingerprints + LSH band keys) to <dir>, then exit —
+      // the corpus-commit-time step the incremental scaladoc promises.
+      // --corpus-meta=<dir>: incremental mode reads that metadata instead
+      // of re-collapsing and re-banding the corpus per snapshot (corpus
+      // text is then only scanned to shingle verified candidates).
+      val writeMeta = args.collectFirst {
+        case s if s.startsWith("--write-corpus-meta=") =>
+          s.stripPrefix("--write-corpus-meta=")
+      }
+      val readMeta = args.collectFirst {
+        case s if s.startsWith("--corpus-meta=") =>
+          s.stripPrefix("--corpus-meta=")
+      }
       args.filter(s => s.startsWith("--") && !s.startsWith("--against=") &&
-          !s.startsWith("--bloom-fpp="))
+          !s.startsWith("--bloom-fpp=") &&
+          !s.startsWith("--write-corpus-meta=") &&
+          !s.startsWith("--corpus-meta="))
         .foreach(f => sys.error(s"unknown dedup flag '$f'"))
+      require(readMeta.isEmpty || against.nonEmpty,
+        "--corpus-meta requires --against (incremental mode)")
+      require(writeMeta.isEmpty || against.isEmpty,
+        "--write-corpus-meta is a corpus-commit-time step; drop --against")
       val a = args.filterNot(_.startsWith("--"))
       require(a.length >= 3,
         "usage: graft.Main dedup <docsParquet> <outDir> [jaccard] [keyCol] " +
@@ -199,16 +220,28 @@ object Main {
       } else true
       val spark = session("graft-dedup")
       val docs = spark.read.parquet(args2(1))
-      against match {
+      if (writeMeta.nonEmpty) {
+        val dir = writeMeta.get
+        val (fps, bnds) = graft.operators.Dedup.corpusDedupMeta(
+          docs, keyCol, textCol)
+        fps.write.mode("overwrite").parquet(s"$dir/fingerprints")
+        bnds.write.mode("overwrite").parquet(s"$dir/bands")
+        graft.operators.Dedup.releaseCaches()
+        println(s"corpus dedup metadata written to $dir " +
+          "(fingerprints/ + bands/)")
+      } else against match {
         case Some(corpusPath) =>
           // incremental: one-shot job (the corpus side is metadata-cheap:
-          // fingerprints + band keys; production would persist those at
-          // corpus-commit time rather than re-derive them per snapshot)
+          // fingerprints + band keys; pass --corpus-meta=<dir> to read
+          // the committed metadata instead of re-deriving it per snapshot)
           val corpus = spark.read.parquet(corpusPath)
+          val meta = readMeta.map(dir =>
+            (spark.read.parquet(s"$dir/fingerprints"),
+              spark.read.parquet(s"$dir/bands")))
           graft.operators.Dedup.dedupIncremental(corpus, docs,
             keyCol, textCol, jaccardThreshold = threshold,
             maxIter = maxIter, strict = strict, algorithm = algo,
-            bloomFpp = bloomFpp)
+            bloomFpp = bloomFpp, corpusMeta = meta)
             .write.mode("overwrite").parquet(args2(2))
           val out = spark.read.parquet(args2(2))
           val total = out.count()
@@ -253,6 +286,13 @@ object Main {
       // order-independent: --block-host=a,b --ban-url=x,y
       // --max-docs-per-host=N; everything else stays positional
       val (flags, pos) = args.partition(_.startsWith("--"))
+      // loud unknown-flag guard (mirrors the dedup subcommand): a typo
+      // like --block-hosts= or --min-qual= must fail by name, not
+      // silently disable url curation or the classifier gate
+      val knownPipelineFlags = Seq("--block-host=",
+        "--ban-url=", "--max-docs-per-host=", "--min-quality=")
+      flags.filterNot(f => knownPipelineFlags.exists(f.startsWith))
+        .foreach(f => sys.error(s"unknown pipeline flag '$f'"))
       def flagList(name: String): Seq[String] = flags.toSeq
         .filter(_.startsWith(s"--$name="))
         .flatMap(_.drop(name.length + 3).split(",")).filter(_.nonEmpty)

@@ -477,10 +477,13 @@ object Dedup {
     * the whole byte-equal group); cross candidates are (band, bucket)
     * key-only joins — no text shuffles; only candidate keys are shingled
     * (semi-join prefilter, both sides). The fresh×corpus bucket join is
-    * uncapped — exact collapse bounds structural hot buckets, but a
-    * pathological non-identical hot bucket would pay |f|x|c| pairs there
-    * (the batch operator's star-expansion cap does not apply across
-    * tables); keys must be disjoint across the two inputs (same key
+    * CAPPED (round-7): an over-`maxBucketSize` (band, bucket) keeps its
+    * minimum corpus key plus a deterministic hash-thresholded
+    * ~maxBucketSize sample of the rest, bounding pair work to
+    * |f|×maxBucketSize per bucket — under-cap buckets (every gate/spec
+    * corpus) are byte-identical, and a skewed bucket's divergence (some
+    * corpus links unseen) mirrors the batch operator's star-expansion
+    * boundary. Keys must be disjoint across the two inputs (same key
     * space, e.g. url).
     *
     * Bloom prefilter (the per-run scale lever): the fresh snapshot is
@@ -502,6 +505,25 @@ object Dedup {
     * disables both. Costs one `count()` + one aggregation pass over the
     * (persisted) fresh reps at plan-construction time.
     */
+  /** Precomputed corpus metadata for [[dedupIncremental]] — the frames
+    * its scaladoc promises are "committed corpus metadata":
+    * (fingerprints, band keys) of the corpus's exact-collapse
+    * representatives, i.e. (keyCol, fingerprint) and
+    * (keyCol, band, bucket). Write both at corpus-commit time and pass
+    * them back via `corpusMeta`; each run then touches corpus TEXT only
+    * to shingle verified candidates (a semi-join-pruned scan) instead of
+    * re-collapsing and re-banding the whole corpus per run. DedupSpec
+    * pins byte-equality between the recomputed and precomputed paths.
+    */
+  def corpusDedupMeta(corpus: DataFrame, keyCol: String, textCol: String,
+                      numHashes: Int = 64, bands: Int = 16,
+                      shingleN: Int = 3): (DataFrame, DataFrame) = {
+    val creps = persistTracked(collapseExact(corpus, keyCol, textCol)._1)
+    (creps.select(col(keyCol), col("fingerprint")),
+      bandedKeys(creps.select(col(keyCol), col(textCol)), keyCol, textCol,
+        numHashes, bands, shingleN))
+  }
+
   def dedupIncremental(corpus: DataFrame, fresh: DataFrame,
                        keyCol: String, textCol: String,
                        numHashes: Int = 64, bands: Int = 16,
@@ -511,7 +533,9 @@ object Dedup {
                        maxIter: Int = 20, strict: Boolean = true,
                        algorithm: String = "hashmin",
                        bloomFpp: Double = 0.03,
-                       bloomMaxItems: Long = 200000000L): DataFrame = {
+                       bloomMaxItems: Long = 200000000L,
+                       corpusMeta: Option[(DataFrame, DataFrame)] = None)
+      : DataFrame = {
     // fresh-internal dup graph + decisions: the batch pipeline, unchanged
     val (reps0, links) = collapseExact(fresh, keyCol, textCol)
     val reps = persistTracked(reps0)
@@ -520,8 +544,24 @@ object Dedup {
     val decisions = persistTracked(
       dedupDecisions(fresh, freshPairs.select("key_a", "key_b"), keyCol,
         maxIter = maxIter, strict = strict, algorithm = algorithm))
-    // corpus side: exact-collapse, band the representatives only
-    val creps = persistTracked(collapseExact(corpus, keyCol, textCol)._1)
+    // corpus side: exact-collapse + band the representatives — or, when
+    // the caller supplies committed corpus metadata (round-7,
+    // [[corpusDedupMeta]]), read fingerprints and band keys from it and
+    // touch corpus text only for the candidate shingle pass below
+    val (cFps, cBandsSrc, cTextSrc) = corpusMeta match {
+      case Some((fps, bnds)) =>
+        (fps.select(col(keyCol), col("fingerprint")),
+          bnds.select(col(keyCol), col("band"), col("bucket"))
+            .withColumnRenamed(keyCol, "corpus_key"),
+          corpus.select(col(keyCol), col(textCol)))
+      case None =>
+        val creps = persistTracked(collapseExact(corpus, keyCol, textCol)._1)
+        (creps.select(col(keyCol), col("fingerprint")),
+          bandedKeys(creps.select(col(keyCol), col(textCol)), keyCol,
+            textCol, numHashes, bands, shingleN)
+            .withColumnRenamed(keyCol, "corpus_key"),
+          creps.select(col(keyCol), col(textCol)))
+    }
     // Bloom prefilters over the fresh side's join keys (see scaladoc):
     // built eagerly here (reps is persisted, so the count materializes
     // work the joins below need anyway), probed on the corpus side
@@ -541,8 +581,8 @@ object Dedup {
     val crepsForExact = if (bloomFpp > 0 && nReps <= bloomMaxItems) {
       val keep = bloomProbe(
         reps.select(xxhash64(col("fingerprint")).as("h")), nReps)
-      creps.filter(keep(xxhash64(col("fingerprint"))))
-    } else creps
+      cFps.filter(keep(xxhash64(col("fingerprint"))))
+    } else cFps
     val exactCross = reps
       .select(col(keyCol).as("fresh_key"), col("fingerprint"))
       .join(crepsForExact
@@ -555,16 +595,34 @@ object Dedup {
       bandedKeys(reps.select(col(keyCol), col(textCol)),
         keyCol, textCol, numHashes, bands, shingleN)
         .withColumnRenamed(keyCol, "fresh_key"))
-    val cBands0 = bandedKeys(creps.select(col(keyCol), col(textCol)),
-      keyCol, textCol, numHashes, bands, shingleN)
-      .withColumnRenamed(keyCol, "corpus_key")
-    val cBands = if (bloomFpp > 0 && nReps * bands <= bloomMaxItems) {
-      val keep = bloomProbe(
-        fBands.select(xxhash64(col("band"), col("bucket")).as("h")),
-        nReps * bands)
-      cBands0.filter(keep(xxhash64(col("band"), col("bucket"))))
-    } else cBands0
-    val crossCand = fBands.join(cBands, Seq("band", "bucket"))
+    val cBands0 = cBandsSrc
+    val cBands = persistTracked(
+      if (bloomFpp > 0 && nReps * bands <= bloomMaxItems) {
+        val keep = bloomProbe(
+          fBands.select(xxhash64(col("band"), col("bucket")).as("h")),
+          nReps * bands)
+        cBands0.filter(keep(xxhash64(col("band"), col("bucket"))))
+      } else cBands0)
+    // hot-bucket cap on the corpus side (round-7, closing the scaladoc's
+    // documented boundary): exact collapse bounds STRUCTURAL hot buckets,
+    // but a pathological non-identical bucket previously paid |f|×|c|
+    // pairs. An over-cap (band, bucket) keeps its minimum corpus key (the
+    // common resolved_to target stays stable) plus a deterministic
+    // hash-thresholded ~maxBucketSize sample; under-cap buckets — every
+    // real gate/spec corpus — pass through byte-identically. The count
+    // aggregate and both joins key on (band, bucket), so the planner
+    // reuses one partitioning across all three; the aggregate is narrow
+    // and map-side combinable (its output is one row per distinct bucket,
+    // so no unbounded collect-per-bucket row can form).
+    val cCnt = cBands.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("__cn"), min(col("corpus_key")).as("__cmin"))
+    val cBandsCapped = cBands.join(cCnt, Seq("band", "bucket"))
+      .filter(col("__cn") <= maxBucketSize ||
+        col("corpus_key") === col("__cmin") ||
+        pmod(xxhash64(col("corpus_key")), lit(1000000L)) <
+          lit(1000000L) * maxBucketSize / col("__cn"))
+      .select(col("band"), col("bucket"), col("corpus_key"))
+    val crossCand = fBands.join(cBandsCapped, Seq("band", "bucket"))
       .select(col("fresh_key"), col("corpus_key")).distinct()
     // semi-join prefilters need no .distinct() on the probe side (round-7)
     val fShs = reps
@@ -572,7 +630,7 @@ object Dedup {
         Seq(keyCol), "left_semi")
       .select(col(keyCol).as("fresh_key"),
         shingles(col(textCol), shingleN).as("sa"))
-    val cShs = creps
+    val cShs = cTextSrc
       .join(crossCand.select(col("corpus_key").as(keyCol)),
         Seq(keyCol), "left_semi")
       .select(col(keyCol).as("corpus_key"),

@@ -188,12 +188,23 @@ object Similarity {
       array_position(scores, array_max(scores)) - 1), centroids)
   }
 
+  /** `precomputedCentroids` (round-7): pass the corpus's committed
+    * centroid metadata (e.g. the array [[ivfIndex]]/[[ivfIndexTrained]]
+    * returned at corpus-commit time) and the query skips the per-call
+    * centroid sampling scan entirely — the scaladocs always promised
+    * centroids are corpus metadata; this is the API that honors it.
+    */
   def ivfTopK(df: DataFrame, keyCol: String, vecCol: String,
               query: Seq[Double], topK: Int, k: Int = 16,
-              probes: Int = 4, trainIters: Int = 0): DataFrame = {
-    val (indexed, centroids) =
-      if (trainIters > 0) ivfIndexTrained(df, keyCol, vecCol, k, trainIters)
-      else ivfIndex(df, keyCol, vecCol, k)
+              probes: Int = 4, trainIters: Int = 0,
+              precomputedCentroids: Option[Array[Array[Double]]] = None)
+      : DataFrame = {
+    val (indexed, centroids) = precomputedCentroids match {
+      case Some(c) => (assignCells(df, vecCol, c), c)
+      case None =>
+        if (trainIters > 0) ivfIndexTrained(df, keyCol, vecCol, k, trainIters)
+        else ivfIndex(df, keyCol, vecCol, k)
+    }
     def cos(a: Array[Double], b: Seq[Double]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0
       var i = 0
@@ -239,6 +250,52 @@ object Similarity {
       .distinct()
   }
 
+  /** Within-cell candidate pairs with a HOT-CELL CAP — round-7, closing
+    * the codebase's one remaining uncapped quadratic (the semantic
+    * family's within-cell self-join paid O(|cell|²) cosines on a skewed
+    * embedding region — exactly the shape an embedding model produces
+    * when it collapses near-identical spam into one region). Cells at or
+    * under `maxCellSize` expand to every (key_a < key_b) pair — byte-
+    * identical to the plain self-join formulation — while over-cap cells
+    * STAR-expand: each member pairs only with the cell's minimum-key
+    * member (the hub), O(n) pairs. Hub links preserve connected-component
+    * reachability for members whose cosine to the hub crosses the
+    * threshold; members similar to each other but NOT to the hub are the
+    * star boundary (same boundary [[graft.operators.Dedup.bucketPairs]]
+    * documents for text buckets). The cell-size frame is one narrow
+    * count-aggregate (k rows or fewer) broadcast back — no new
+    * vector-carrying exchange.
+    *
+    * Input must carry (`__cell`, keyCol, vecCol); output is
+    * (key_a, key_b, __va, __vb) with key_a < key_b, cosine NOT yet
+    * applied (callers filter at their threshold).
+    */
+  private[graft] def cellPairs(assigned: DataFrame, keyCol: String,
+                               vecCol: String,
+                               maxCellSize: Int): DataFrame = {
+    val sizes = assigned.groupBy(col("__cell"))
+      .agg(count(lit(1)).as("__n"), min(col(keyCol)).as("__hub"))
+    val withSize = assigned
+      .join(broadcast(sizes), Seq("__cell"))
+      .select(col("__cell"), col(keyCol), col(vecCol), col("__n"),
+        col("__hub"))
+    val small = withSize.filter(col("__n") <= maxCellSize)
+    val fullPairs = small
+      .select(col("__cell"), col(keyCol).as("key_a"), col(vecCol).as("__va"))
+      .join(small.select(col("__cell"), col(keyCol).as("key_b"),
+        col(vecCol).as("__vb")), Seq("__cell"))
+      .filter(col("key_a") < col("key_b"))
+      .select(col("key_a"), col("key_b"), col("__va"), col("__vb"))
+    val big = withSize.filter(col("__n") > maxCellSize)
+    val hubs = big.filter(col(keyCol) === col("__hub"))
+      .select(col("__cell"), col(keyCol).as("key_a"), col(vecCol).as("__va"))
+    val starPairs = big.filter(col(keyCol) =!= col("__hub"))
+      .select(col("__cell"), col(keyCol).as("key_b"), col(vecCol).as("__vb"))
+      .join(hubs, Seq("__cell"))
+      .select(col("key_a"), col("key_b"), col("__va"), col("__vb"))
+    fullPairs.unionByName(starPairs)
+  }
+
   /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023, arXiv:2303.09540):
     * partition the embedding space into cells, call two documents
     * duplicates when their cosine within a cell crosses
@@ -252,21 +309,21 @@ object Similarity {
     * (dims*4 bytes each — far lighter than shuffling text). Cross-cell
     * near-duplicates are missed BY CONSTRUCTION — the recall boundary
     * SemDeDup itself accepts; raise k only with the trained index
-    * ([[ivfIndexTrained]]) if cell balance degrades.
+    * ([[ivfIndexTrained]]) if cell balance degrades. Hot cells are
+    * capped (round-7): a cell over `maxCellSize` star-expands through
+    * [[cellPairs]] (O(n) hub links) instead of paying O(n²) cosines —
+    * the skew an embedding model produces when it collapses
+    * near-identical spam into one region no longer scales quadratically.
     * Output: one row per doc — (keyCol, cluster_id, keep), exactly
     * [[Dedup.dedupDecisions]]'s contract.
     */
   def semanticDedup(emb: DataFrame, keyCol: String, vecCol: String,
                     k: Int = 16, cosineThreshold: Double = 0.95,
                     maxIter: Int = 20, strict: Boolean = true,
-                    algorithm: String = "hashmin"): DataFrame = {
+                    algorithm: String = "hashmin",
+                    maxCellSize: Int = 10000): DataFrame = {
     val (assigned, _) = ivfIndex(emb, keyCol, vecCol, k)
-    val a = assigned.select(col("__cell"), col(keyCol).as("key_a"),
-      col(vecCol).as("__va"))
-    val b = assigned.select(col("__cell"), col(keyCol).as("key_b"),
-      col(vecCol).as("__vb"))
-    val pairs = a.join(b, Seq("__cell"))
-      .filter(col("key_a") < col("key_b"))
+    val pairs = cellPairs(assigned, keyCol, vecCol, maxCellSize)
       .filter(cosine(col("__va"), col("__vb")) >= cosineThreshold)
       .select(col("key_a"), col("key_b"))
     Dedup.dedupDecisions(emb.select(col(keyCol)), pairs, keyCol,
@@ -302,23 +359,43 @@ object Similarity {
                                keyCol: String, vecCol: String,
                                k: Int = 16, cosineThreshold: Double = 0.95,
                                maxIter: Int = 20, strict: Boolean = true,
-                               algorithm: String = "hashmin"): DataFrame = {
-    val centroids = {
+                               algorithm: String = "hashmin",
+                               maxCellSize: Int = 10000,
+                               precomputedCentroids:
+                                 Option[Array[Array[Double]]] = None)
+      : DataFrame = {
+    // round-7: committed corpus centroids can be passed in directly —
+    // the per-run sampleCentroids scan of the corpus (TakeOrdered over
+    // every corpus vector) disappears; DedupSpec pins byte-equality
+    // between the recomputed and precomputed paths
+    val centroids = precomputedCentroids.getOrElse {
       val fromCorpus = sampleCentroids(corpus, keyCol, vecCol, k)
       if (fromCorpus.nonEmpty) fromCorpus
       else sampleCentroids(fresh, keyCol, vecCol, k)
     }
     val fa = assignCells(fresh, vecCol, centroids)
       .select(col("__cell"), col(keyCol), col(vecCol))
-    val ca = assignCells(corpus, vecCol, centroids)
+    // hot-cell cap on the CORPUS side of the cross join (round-7): an
+    // over-cap corpus cell keeps its minimum-key member (so the common
+    // resolved_to target is stable) plus a deterministic hash-thresholded
+    // ~maxCellSize sample; under-cap cells — every real gate/spec corpus —
+    // pass through untouched, so decisions only change on corpora whose
+    // cells exceed the cap (the same documented boundary as the text
+    // path's star expansion). Bounds the fresh×corpus pair work per cell
+    // to |fresh_cell| × maxCellSize.
+    val caAll = assignCells(corpus, vecCol, centroids)
       .select(col("__cell"), col(keyCol).as("corpus_key"),
         col(vecCol).as("__vc"))
-    // fresh-internal dup graph + decisions
-    val ffPairs = fa.select(col("__cell"), col(keyCol).as("key_a"),
-        col(vecCol).as("__va"))
-      .join(fa.select(col("__cell"), col(keyCol).as("key_b"),
-        col(vecCol).as("__vb")), Seq("__cell"))
-      .filter(col("key_a") < col("key_b"))
+    val cSizes = caAll.groupBy(col("__cell"))
+      .agg(count(lit(1)).as("__cn"), min(col("corpus_key")).as("__cmin"))
+    val ca = caAll.join(broadcast(cSizes), Seq("__cell"))
+      .filter(col("__cn") <= maxCellSize ||
+        col("corpus_key") === col("__cmin") ||
+        pmod(xxhash64(col("corpus_key")), lit(1000000L)) <
+          lit(1000000L) * maxCellSize / col("__cn"))
+      .select(col("__cell"), col("corpus_key"), col("__vc"))
+    // fresh-internal dup graph + decisions (hot cells star-expand)
+    val ffPairs = cellPairs(fa, keyCol, vecCol, maxCellSize)
       .filter(cosine(col("__va"), col("__vb")) >= cosineThreshold)
       .select(col("key_a"), col("key_b"))
     val decisions = Dedup.dedupDecisions(fresh.select(col(keyCol)),

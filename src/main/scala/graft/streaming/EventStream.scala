@@ -454,7 +454,8 @@ object EventStream {
                              vecCol: String = "embedding",
                              k: Int = 16,
                              cosineThreshold: Double = 0.95,
-                             retainBatches: Long = Long.MaxValue): DataFrame = {
+                             retainBatches: Long = Long.MaxValue,
+                             maxCellSize: Int = 10000): DataFrame = {
     import graft.operators.{Dedup, Similarity}
     val seenDir = s"$outDir/_seen"
     val centroids = Similarity.sampleCentroids(centroidSource, keyCol,
@@ -483,12 +484,13 @@ object EventStream {
           .filter(cos >= cosineThreshold)
           .groupBy(col(keyCol))
           .agg(min(col("cluster_id")).as("seen_cluster"))
-        val nnPairs = assigned
-          .select(col("__cell"), col(keyCol).as("key_a"),
-            col(vecCol).as("__va"))
-          .join(assigned.select(col("__cell"), col(keyCol).as("key_b"),
-            col(vecCol).as("__vb")), Seq("__cell"))
-          .filter(col("key_a") < col("key_b"))
+        // in-batch pairs through the shared hot-cell cap (round-7): a
+        // micro-batch whose embeddings pile into one cell star-expands
+        // instead of paying O(|cell|²) cosines (same hub-link boundary as
+        // the batch operator)
+        val nnPairs = Similarity
+          .cellPairs(assigned.select(col("__cell"), col(keyCol),
+            col(vecCol)), keyCol, vecCol, maxCellSize)
           .filter(Similarity.cosine(col("__va"), col("__vb")) >=
             cosineThreshold)
           .select(col("key_a"), col("key_b"))

@@ -443,6 +443,60 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((0L, 1L)))
   }
+
+  test("incremental dedup: hot corpus band bucket capped — fresh still " +
+    "resolves to the minimum corpus key and the job stays linear") {
+    import spark.implicits._
+    val base = ("alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon ") * 3
+    // 12 NON-identical near-dup corpus docs (distinct tails defeat exact
+    // collapse) — they share almost every band bucket, so a small
+    // maxBucketSize makes those buckets hot
+    val corpus = (0L until 12L).map(i => (i, s"$base tail$i"))
+      .toDF("doc_id", "text")
+    val fresh = Seq((100L, s"$base tailx")).toDF("doc_id", "text")
+    val got = Dedup.dedupIncremental(corpus, fresh, "doc_id", "text",
+      jaccardThreshold = 0.5, maxBucketSize = 2)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2)))
+      .toSeq
+    Dedup.releaseCaches()
+    // the cap always retains each bucket's minimum corpus key, so the
+    // resolved_to target is the same one the uncapped join would pick
+    assert(got == Seq((100L, false, 0L)), s"got $got")
+  }
+
+  test("incremental dedup: precomputed corpus metadata path is " +
+    "byte-identical to the recomputed path") {
+    import spark.implicits._
+    val corpus = (0L until 30L).map(i => (i, s"corpus doc number $i with " +
+      "shared words about crawling and indexing the public web"))
+      .toDF("doc_id", "text")
+    val fresh = (100L until 120L).map(i => (i, s"fresh doc number $i " +
+      "with shared words about crawling and indexing the public web"))
+      .toDF("doc_id", "text")
+      .unionByName(Seq((200L,
+        "corpus doc number 3 with shared words about crawling and " +
+          "indexing the public web")) // byte-equal to corpus doc 3
+        .toDF("doc_id", "text"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val recomputed = canon(Dedup.dedupIncremental(corpus, fresh,
+      "doc_id", "text", jaccardThreshold = 0.5))
+    Dedup.releaseCaches()
+    // commit the metadata to parquet (the production shape) and resume
+    // through it
+    val dir = java.nio.file.Files.createTempDirectory("cmeta").toString
+    val (fps, bnds) = Dedup.corpusDedupMeta(corpus, "doc_id", "text")
+    fps.write.mode("overwrite").parquet(s"$dir/fingerprints")
+    bnds.write.mode("overwrite").parquet(s"$dir/bands")
+    Dedup.releaseCaches()
+    val precomputed = canon(Dedup.dedupIncremental(corpus, fresh,
+      "doc_id", "text", jaccardThreshold = 0.5,
+      corpusMeta = Some((spark.read.parquet(s"$dir/fingerprints"),
+        spark.read.parquet(s"$dir/bands")))))
+    Dedup.releaseCaches()
+    assert(precomputed == recomputed)
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {
@@ -603,5 +657,68 @@ class SimilaritySpec extends AnyFunSuite {
     // the query's own vector is always in its own bucket
     assert(Similarity.lshTopK(e, "vec_id", "embedding", q, 10, 4, 0)
       .collect().map(_.getLong(0)).contains(0L))
+  }
+
+  test("hot-cell cap: a skewed cell star-expands to O(n) hub links and a " +
+    "tight near-identical cluster still collapses to the min key") {
+    // 40 near-identical vectors: one dense region -> one hot cell (k = 1)
+    val hot = (0L until 40L).map(i =>
+      (i, Seq(1.0f, (i * 1e-4).toFloat, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val assigned = Similarity.assignCells(hot, "embedding",
+      Similarity.sampleCentroids(hot, "vec_id", "embedding", 1))
+    // over-cap: n-1 hub links, not n*(n-1)/2 pairs
+    assert(Similarity.cellPairs(assigned, "vec_id", "embedding", 8)
+      .count() == 39L)
+    // under-cap: byte-identical full expansion
+    assert(Similarity.cellPairs(assigned, "vec_id", "embedding", 10000)
+      .count() == 40L * 39 / 2)
+    // decisions under the cap: every member's cosine to the hub crosses
+    // the threshold, so the whole cluster still resolves to the min key
+    val got = Similarity.semanticDedup(hot, "vec_id", "embedding", k = 1,
+      cosineThreshold = 0.95, maxCellSize = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got.values.forall(_._1 == 0L), s"clusters split: $got")
+    assert(got.count(_._2._2) == 1 && got(0L)._2)
+  }
+
+  test("incremental semantic dedup: precomputed centroids are " +
+    "byte-identical to the per-run corpus sample") {
+    val corpus = Seq(
+      (100L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (101L, Seq(0.0f, 1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val fresh = Seq(
+      (200L, Seq(0.999f, 0.01f, 0.0f, 0.0f)),
+      (201L, Seq(0.0f, 0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val recomputed = canon(Similarity.semanticDedupIncremental(corpus,
+      fresh, "vec_id", "embedding", k = 2, cosineThreshold = 0.95))
+    // commit-time centroids = the same deterministic sample
+    val committed = Similarity.sampleCentroids(corpus, "vec_id",
+      "embedding", 2)
+    val precomputed = canon(Similarity.semanticDedupIncremental(corpus,
+      fresh, "vec_id", "embedding", k = 2, cosineThreshold = 0.95,
+      precomputedCentroids = Some(committed)))
+    assert(precomputed == recomputed)
+    // ivfTopK through committed centroids returns identical rows too
+    val q = Seq(1.0, 0.0, 0.0, 0.0)
+    val a = canon(Similarity.ivfTopK(corpus, "vec_id", "embedding", q, 2,
+      k = 2, probes = 1))
+    val b = canon(Similarity.ivfTopK(corpus, "vec_id", "embedding", q, 2,
+      k = 2, probes = 1, precomputedCentroids = Some(committed)))
+    assert(a == b)
+  }
+
+  test("hot-cell cap: decisions byte-identical when no cell exceeds it") {
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val a = Similarity.semanticDedup(vecs, "vec_id", "embedding",
+      k = 4, cosineThreshold = 0.97)
+    val b = Similarity.semanticDedup(vecs, "vec_id", "embedding",
+      k = 4, cosineThreshold = 0.97, maxCellSize = 50)
+    assert(canon(a) == canon(b))
   }
 }

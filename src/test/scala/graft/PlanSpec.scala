@@ -532,6 +532,61 @@ class PlanSpec extends AnyFunSuite {
       s"AQE did not mark/split the skewed partition:\n${finalPlan.take(3000)}")
   }
 
+  test("semantic dedup shuffle shape: every vector-carrying exchange is " +
+    "keyed by __cell, vectors shuffle at most once per side, and centroid " +
+    "assignment is a narrow map (no exchange beneath it)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // fixture-scale joins all broadcast; disable so the plan shows the
+    // shuffles a 100 TB run pays (same move as the band-shuffle pin)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      val assigned = graft.operators.Similarity.assignCells(
+        e.select(col("vec_id"), col("embedding")), "embedding",
+        graft.operators.Similarity.sampleCentroids(e, "vec_id",
+          "embedding", 8))
+      val pairs = graft.operators.Similarity.cellPairs(
+        assigned, "vec_id", "embedding", 10000)
+      val shuffles = pairs.queryExecution.executedPlan.collect {
+        case ex: ShuffleExchangeExec => ex
+      }
+      val vecShuffles = shuffles.filter(_.output.map(_.name).exists(n =>
+        n == "embedding" || n.startsWith("__v")))
+      assert(vecShuffles.nonEmpty, "expected cell-keyed vector exchanges")
+      // (1) the only key vectors ever shuffle on is the cell
+      vecShuffles.foreach { ex =>
+        assert(ex.outputPartitioning.toString.contains("__cell"),
+          s"vector exchange keyed off-cell: ${ex.outputPartitioning}")
+      }
+      // (2) narrow below: no VECTOR-carrying exchange under a vector
+      // exchange — centroid assignment is a map over the scan, so each
+      // side's vectors cross the network exactly once (the broadcast
+      // build side of the cell-size join holds a narrow count exchange,
+      // which is fine: it ships (cell, count, hub) rows, not vectors)
+      vecShuffles.foreach { ex =>
+        val below = ex.child.collect {
+          case e2: ShuffleExchangeExec if e2.output.map(_.name).exists(n =>
+            n == "embedding" || n.startsWith("__v")) => e2
+        }
+        assert(below.isEmpty,
+          s"vectors shuffled twice:\n${ex.treeString.take(1500)}")
+      }
+      // (3) the hot-cell size aggregate ships no vectors
+      val sizeShuffles = shuffles.filter(_.output.map(_.name).contains("__n"))
+      sizeShuffles.foreach { ex =>
+        assert(!ex.output.map(_.name).exists(n =>
+          n == "embedding" || n.startsWith("__v")),
+          s"cell-size aggregate shuffles vectors: ${ex.output.map(_.name)}")
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prev)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
   test("single-pass MAD aggregate matches the two-pass formulation") {
     import spark.implicits._
     val h = (1 to 9).map(i => ("en", i.toDouble,

@@ -707,10 +707,13 @@ object Dedup {
       s"maxBucketSize=$maxBucketSize", s"maxIter=$maxIter",
       s"strict=$strict", s"algorithm=$algorithm",
       s"inputTag=$inputTag").mkString(";")
-    val paramsFile = new java.io.File(s"$stageDir/_PARAMS")
-    if (paramsFile.exists()) {
-      val committed = new String(
-        java.nio.file.Files.readAllBytes(paramsFile.toPath), "UTF-8")
+    // _PARAMS and _SUCCESS probes go through Hadoop's FileSystem (round-7
+    // ADVICE fix): java.io.File silently reported "missing" on any
+    // non-local default FS, making the parameter-drift guard inert
+    // exactly where the stage data lives
+    val paramsPath = s"$stageDir/_PARAMS"
+    if (graft.sources.Fs.exists(paramsPath)) {
+      val committed = graft.sources.Fs.readString(paramsPath)
       require(committed == paramsLine,
         s"dedupResumable: stage dir $stageDir was committed with " +
           s"different parameters.\n  committed: $committed\n  " +
@@ -718,15 +721,13 @@ object Dedup {
           "computed under the old policy — use a fresh stage dir (or " +
           "delete this one) to change parameters.")
     } else {
-      paramsFile.getParentFile.mkdirs()
-      java.nio.file.Files.write(paramsFile.toPath,
-        paramsLine.getBytes("UTF-8"))
+      graft.sources.Fs.writeString(paramsPath, paramsLine)
     }
     val ran = scala.collection.mutable.Buffer.empty[String]
     val skipped = scala.collection.mutable.Buffer.empty[String]
     def stage(name: String)(compute: => DataFrame): DataFrame = {
       val path = s"$stageDir/$name"
-      if (new java.io.File(s"$path/_SUCCESS").exists()) {
+      if (graft.sources.Fs.exists(s"$path/_SUCCESS")) {
         skipped += name
       } else {
         if (ran.size >= failAfter)

@@ -98,7 +98,7 @@ object Pipeline {
       failAfter = failAfterDedupStages,
       inputTag = minQualityProb.fold("")(p => s"minQualityProb=$p"))
     val corpusPath = s"$outDir/corpus"
-    val corpusCommitted = new java.io.File(s"$corpusPath/_SUCCESS").exists()
+    val corpusCommitted = graft.sources.Fs.exists(s"$corpusPath/_SUCCESS")
     if (!corpusCommitted) {
       // left-semi on the dedup survivors: the corpus carries the full
       // verdict row (scrubbed text, lang, scores, lineage columns), only

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.sources.{MetricsStore, Pages}
+import graft.sources.{Fs, MetricsStore, Pages}
 
 /** Checkpoint-based resume for the quality-filter job.
   *
@@ -40,17 +40,16 @@ object Resume {
 
   def bucketCol(buckets: Int) = Pages.urlBucket(col("url"), buckets)
 
+  // commit markers through Hadoop's FileSystem (round-7 ADVICE fix):
+  // java.io.File made resume skipping inert on non-local stage storage
   def committed(outDir: String, bucket: Int): Boolean =
-    new java.io.File(s"$outDir/bucket=$bucket/_SUCCESS").exists()
+    Fs.exists(s"$outDir/bucket=$bucket/_SUCCESS")
 
   def metricsCommitted(outDir: String, bucket: Int): Boolean =
-    new java.io.File(s"$outDir/bucket=$bucket/_METRICS_OK").exists()
+    Fs.exists(s"$outDir/bucket=$bucket/_METRICS_OK")
 
-  private def markMetricsCommitted(outDir: String, bucket: Int): Unit = {
-    val f = new java.io.File(s"$outDir/bucket=$bucket/_METRICS_OK")
-    f.getParentFile.mkdirs()
-    f.createNewFile()
-  }
+  private def markMetricsCommitted(outDir: String, bucket: Int): Unit =
+    Fs.touch(s"$outDir/bucket=$bucket/_METRICS_OK")
 
   /** Run the pipeline bucket-by-bucket; returns (bucketsRun, bucketsSkipped).
     * `failAfter` injects a crash after N bucket commits (for the kill/rerun

@@ -198,15 +198,28 @@ object ConfigLoader {
         "\\.split\\(\\s*(?:'([^']*)'|\"([^\"]*)\")\\s*\\)").r
     val forListPat = "([A-Za-z_][A-Za-z0-9_]*)\\s+in\\s+\\[(.*)\\]".r
     val listItemPat = "\\s*(?:'([^']*)'|\"([^\"]*)\")\\s*".r
-    def parseFor(spec: String,
-                 scope: Map[String, String]): (String, Seq[String]) =
+    /** `live = false` inside an UNTAKEN {% if %} branch (round-7 ADVICE
+      * fix): the spec's SYNTAX is still validated eagerly — an
+      * unsupported expression in a dead branch must fail — but the
+      * undefined-source lookup is deferred to live evaluation, so a
+      * Jinja-legal guarded template like
+      * `{% if HAS_X %}{% for t in X.split(',') %}...{% endif %}` with X
+      * undefined renders fine (the dead body is parsed once with zero
+      * iterations).
+      */
+    def parseFor(spec: String, scope: Map[String, String],
+                 live: Boolean): (String, Seq[String]) =
       spec.trim match {
         case forSplitPat(x, src, sq, dq) =>
           val sep = if (sq != null) sq else dq
-          val value = scope.getOrElse(src,
-            fail(s"{% for %} over undefined variable '$src'"))
-          // Python str.split: "" -> [""], empty fields kept
-          (x, value.split(java.util.regex.Pattern.quote(sep), -1).toSeq)
+          scope.get(src) match {
+            case Some(value) =>
+              // Python str.split: "" -> [""], empty fields kept
+              (x, value.split(java.util.regex.Pattern.quote(sep), -1).toSeq)
+            case None if !live => (x, Seq.empty)
+            case None =>
+              fail(s"{% for %} over undefined variable '$src'")
+          }
         case forListPat(x, items) =>
           val parts =
             if (items.trim.isEmpty) Seq.empty
@@ -240,15 +253,19 @@ object ConfigLoader {
     // persist past the endif, so parseIf returns (body, post-if scope);
     // untaken branches are still parsed (validated, sets computed) but
     // their scope is discarded
-    def parseIf(firstCond: String,
-                scope: Map[String, String]): (String, Map[String, String]) = {
+    def parseIf(firstCond: String, scope: Map[String, String],
+                live: Boolean): (String, Map[String, String]) = {
       var result: Option[(String, Map[String, String])] = None
       var cond = parseCond(firstCond)
       var inElse = false
       while (true) {
+        // untaken branches still parse (structure + expression syntax
+        // validated) but evaluate dead: their {% for %} sources may be
+        // legally undefined (round-7 ADVICE fix)
+        val taken = result.isEmpty && (inElse || cond(scope))
         val (body, stop, sc) =
-          parseBlock(scope, Set("elif", "else", "endif"))
-        if (result.isEmpty && (inElse || cond(scope))) result = Some((body, sc))
+          parseBlock(scope, Set("elif", "else", "endif"), live && taken)
+        if (taken) result = Some((body, sc))
         stop match {
           case None => fail("unterminated {% if %} (missing {% endif %})")
           case Some(s) =>
@@ -272,7 +289,8 @@ object ConfigLoader {
     // renders until a terminator in stopKws (returned, consumed) or end of
     // input; nested ifs/fors recurse; returns the scope as of the
     // terminator so a {% set %} is visible to the rest of its block
-    def parseBlock(scope: Map[String, String], stopKws: Set[String])
+    def parseBlock(scope: Map[String, String], stopKws: Set[String],
+                   live: Boolean = true)
         : (String, Option[String], Map[String, String]) = {
       val sb = new StringBuilder
       var sc = scope
@@ -290,21 +308,21 @@ object ConfigLoader {
                 i += 1
                 val cond = s.split("\\s+", 2).lift(1)
                   .getOrElse(fail("{% if %} without an expression"))
-                val (body, sc2) = parseIf(cond, sc)
+                val (body, sc2) = parseIf(cond, sc, live)
                 sb ++= body
                 sc = sc2
               case "for" =>
                 i += 1
                 val spec = s.split("\\s+", 2).lift(1)
                   .getOrElse(fail("{% for %} without an expression"))
-                val (x, items) = parseFor(spec, sc)
+                val (x, items) = parseFor(spec, sc, live)
                 val bodyStart = i
                 // for bodies DO introduce a scope (Jinja): loop-body sets
                 // are discarded at endfor
                 def once(item: String): String = {
                   i = bodyStart
                   val (body, stop, _) = parseBlock(sc + (x -> item),
-                    Set("endfor"))
+                    Set("endfor"), live)
                   if (stop.isEmpty)
                     fail("unterminated {% for %} (missing {% endfor %})")
                   body

@@ -19,9 +19,7 @@ import org.apache.spark.sql.functions._
 class MetricsStore(val path: String) {
 
   def exists(spark: SparkSession): Boolean =
-    new java.io.File(path).exists() &&
-      new java.io.File(path).listFiles() != null &&
-      new java.io.File(path).listFiles().nonEmpty
+    Fs.nonEmptyDir(path)
 
   /** mergeSchema: the ledger accumulates files from different engine
     * versions / dimensioned histories; reads must union their schemas

@@ -203,7 +203,7 @@ object EventStream {
   private def priorState(spark: SparkSession, dir: String, batchId: Long,
                          like: DataFrame,
                          retainBatches: Long = Long.MaxValue): DataFrame =
-    if (new java.io.File(dir).exists())
+    if (graft.sources.Fs.exists(dir))
       spark.read.parquet(dir)
         .filter(col("batch") < batchId &&
           col("batch") >= math.max(0L, batchId - retainBatches))

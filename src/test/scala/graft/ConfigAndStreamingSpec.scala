@@ -147,6 +147,31 @@ class ConfigLoaderSpec extends AnyFunSuite {
       Seq(Seq("pages"), Seq("events"), Seq("docs")))
   }
 
+  test("{% for %} in an UNTAKEN branch may reference an undefined source " +
+    "(deferred lookup — Jinja parity), while dead-branch syntax is still " +
+    "validated and a LIVE undefined source still fails by name") {
+    def r(tpl: String, env: (String, String)*): String =
+      ConfigLoader.renderTemplate(tpl, env.toMap)
+    // Jinja-legal guarded loop: X undefined, guard false -> renders fine
+    // (previously rejected: dead branches executed parseFor's lookup)
+    assert(r("{% if HAS_X %}{% for t in X.split(',') %}{{t}}{% endfor %}" +
+      "{% endif %}ok") == "ok")
+    // guard true with X defined still iterates
+    assert(r("{% if HAS_X %}{% for t in X.split(',') %}[{{t}}]" +
+      "{% endfor %}{% endif %}", "HAS_X" -> "1", "X" -> "a,b") == "[a][b]")
+    // nested: a dead outer if shields an inner guarded for too
+    assert(r("{% if NO %}{% if YES %}{% for t in X.split(',') %}x" +
+      "{% endfor %}{% endif %}{% endif %}done") == "done")
+    // dead-branch SYNTAX is still validated (unsupported spec fails loud)
+    val bad = intercept[IllegalArgumentException](
+      r("{% if HAS_X %}{% for t in 1 + 2 %}x{% endfor %}{% endif %}"))
+    assert(bad.getMessage.contains("unsupported"))
+    // a LIVE for over an undefined source still fails by name
+    val undef = intercept[IllegalArgumentException](
+      r("{% for t in X.split(',') %}{{t}}{% endfor %}"))
+    assert(undef.getMessage.contains("undefined"))
+  }
+
   test("Jinja filter subset: upper/lower/trim/default chains, undefined " +
     "semantics, loud failure on everything else") {
     def r(tpl: String, env: (String, String)*): String =

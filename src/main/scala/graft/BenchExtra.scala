@@ -99,11 +99,14 @@ object BenchExtra {
         val best = scala.collection.mutable.Map.empty[String, Double]
           .withDefaultValue(Double.MaxValue)
         val meta = scala.collection.mutable.Map.empty[String, (Int, Int, Int, Long)]
+        val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+          .withDefaultValue(Nil)
         (1 to passes).foreach { p =>
           names.foreach { name =>
             val fn = SparkEntry.queries(name)
             counter.reset()
             val t = time { force(fn(s, sfDir)) }
+            samples(name) = t :: samples(name)
             if (t < best(name)) {
               best(name) = t
               meta(name) = (counter.jobs, counter.stages, counter.tasks,
@@ -114,7 +117,8 @@ object BenchExtra {
         val qs = names.map { n =>
           val (j, st, ta, sh) = meta(n)
           s""""$n":{"sec":${f"${best(n)}%.4f"},"jobs":$j,"stages":$st,""" +
-            s""""tasks":$ta,"shuffle_mb":${f"${sh / 1e6}%.2f"}}"""
+            s""""tasks":$ta,"shuffle_mb":${f"${sh / 1e6}%.2f"},""" +
+            s""""samples":[${samples(n).reverse.map(t => f"$t%.4f").mkString(",")}]}"""
         }.mkString("{", ",", "}")
         val total = names.map(best(_)).sum
         println(s"""{"metric":"extra","total_sec":${f"$total%.4f"},"queries":$qs,"sf":"$sfDir","passes":$passes}""")

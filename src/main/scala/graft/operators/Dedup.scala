@@ -1046,15 +1046,23 @@ object Dedup {
       val viaNeighbor = edges
         .join(labels.withColumnRenamed("node", "b"), Seq("b"))
         .select(col("a").as("node"), col("cluster_id"))
-      val next = labels.unionByName(viaNeighbor)
+      // round-7: each node's PREVIOUS label rides through the aggregate
+      // (it is the single non-null __old per node, so max() recovers it),
+      // making the convergence check a narrow filter over the
+      // checkpointed round — the old formulation paid a second shuffle
+      // join (next ⋈ labels) per round just to ask "did anything move"
+      val next = labels
+        .select(col("node"), col("cluster_id"),
+          col("cluster_id").as("__old"))
+        .unionByName(viaNeighbor.withColumn("__old",
+          lit(null).cast(labels.schema("cluster_id").dataType)))
         .groupBy(col("node"))
-        .agg(min(col("cluster_id")).as("cluster_id"))
+        .agg(min(col("cluster_id")).as("cluster_id"),
+          max(col("__old")).as("__old"))
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("cluster_id", "old"),
-          Seq("node"))
-        .filter(col("cluster_id") =!= col("old"))
+      val changed = next.filter(col("cluster_id") =!= col("__old"))
         .limit(1).count()
-      labels = next
+      labels = next.drop("__old")
       converged = changed == 0
       iter += 1
     }

@@ -106,6 +106,10 @@ object BenchExtra {
             val fn = SparkEntry.queries(name)
             counter.reset()
             val t = time { force(fn(s, sfDir)) }
+            // listener events are delivered async; give the bus a moment
+            // so stage counts land on the query that ran them (diagnostic
+            // tolerance — timings are unaffected)
+            Thread.sleep(100)
             samples(name) = t :: samples(name)
             if (t < best(name)) {
               best(name) = t

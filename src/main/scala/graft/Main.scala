@@ -193,10 +193,13 @@ object Main {
       require(writeMeta.isEmpty || against.isEmpty,
         "--write-corpus-meta is a corpus-commit-time step; drop --against")
       val a = args.filterNot(_.startsWith("--"))
-      require(a.length >= 3,
+      // --write-corpus-meta needs no <outDir> (it writes only to the
+      // metadata dir)
+      require(a.length >= (if (writeMeta.nonEmpty) 2 else 3),
         "usage: graft.Main dedup <docsParquet> <outDir> [jaccard] [keyCol] " +
           "[textCol] [maxIter] [hashmin|star] [strict|besteffort] " +
-          "[--against=<corpusParquet>] [--bloom-fpp=<d>]")
+          "[--against=<corpusParquet>] [--bloom-fpp=<d>] " +
+          "[--write-corpus-meta=<dir>] [--corpus-meta=<dir>]")
       val args2 = a // positional view below
       val threshold = if (args2.length > 3) args2(3).toDouble else 0.8
       val keyCol = if (args2.length > 4) args2(4) else "doc_id"
@@ -220,24 +223,43 @@ object Main {
       } else true
       val spark = session("graft-dedup")
       val docs = spark.read.parquet(args2(1))
+      // the metadata is only valid under the banding parameters it was
+      // computed with — commit them next to it and refuse a drifted read
+      // (same philosophy as dedupResumable's _PARAMS guard)
+      def metaParamsLine(kc: String, tc: String): String =
+        s"keyCol=$kc;textCol=$tc;numHashes=64;bands=16;shingleN=3"
       if (writeMeta.nonEmpty) {
         val dir = writeMeta.get
         val (fps, bnds) = graft.operators.Dedup.corpusDedupMeta(
           docs, keyCol, textCol)
         fps.write.mode("overwrite").parquet(s"$dir/fingerprints")
         bnds.write.mode("overwrite").parquet(s"$dir/bands")
+        graft.sources.Fs.writeString(s"$dir/_PARAMS",
+          metaParamsLine(keyCol, textCol), overwrite = true)
         graft.operators.Dedup.releaseCaches()
         println(s"corpus dedup metadata written to $dir " +
-          "(fingerprints/ + bands/)")
+          "(fingerprints/ + bands/ + _PARAMS)")
       } else against match {
         case Some(corpusPath) =>
           // incremental: one-shot job (the corpus side is metadata-cheap:
           // fingerprints + band keys; pass --corpus-meta=<dir> to read
           // the committed metadata instead of re-deriving it per snapshot)
           val corpus = spark.read.parquet(corpusPath)
-          val meta = readMeta.map(dir =>
+          val meta = readMeta.map { dir =>
+            val pf = s"$dir/_PARAMS"
+            if (graft.sources.Fs.exists(pf)) {
+              val committed = graft.sources.Fs.readString(pf)
+              val requested = metaParamsLine(keyCol, textCol)
+              require(committed == requested,
+                s"--corpus-meta=$dir was committed under different " +
+                  s"parameters.\n  committed: $committed\n  requested: " +
+                  s"$requested\nBand keys from drifted parameters match " +
+                  "nothing and would silently drop every near-dup cross " +
+                  "link — rewrite the metadata with --write-corpus-meta.")
+            }
             (spark.read.parquet(s"$dir/fingerprints"),
-              spark.read.parquet(s"$dir/bands")))
+              spark.read.parquet(s"$dir/bands"))
+          }
           graft.operators.Dedup.dedupIncremental(corpus, docs,
             keyCol, textCol, jaccardThreshold = threshold,
             maxIter = maxIter, strict = strict, algorithm = algo,

@@ -282,6 +282,12 @@ object Dedup {
     * exchange; the old any_value(text) aggregate moved the same bytes but
     * as a SortAggregate with two full sorts), and one narrow fingerprint
     * join for the links.
+    *
+    * Precondition (shared by every dedup operator): `keyCol` is unique
+    * per row (doc ids / urls). Rows duplicating the group-minimum key
+    * would each pass the rep filter; the old aggregate formulation
+    * collapsed them structurally but emitted duplicate LINK rows for the
+    * same input, so duplicate keys were degenerate either way.
     */
   def collapseExact(df: DataFrame, keyCol: String, textCol: String)
       : (DataFrame, DataFrame) = {
@@ -514,6 +520,13 @@ object Dedup {
     * to shingle verified candidates (a semi-join-pruned scan) instead of
     * re-collapsing and re-banding the whole corpus per run. DedupSpec
     * pins byte-equality between the recomputed and precomputed paths.
+    *
+    * The metadata is only valid under the (numHashes, bands, shingleN)
+    * it was computed with: band keys from drifted parameters match
+    * nothing, silently dropping every near-dup cross link. Commit the
+    * parameters next to the frames and guard the read (the `graft.Main
+    * dedup --corpus-meta` path writes and checks a `_PARAMS` record,
+    * mirroring [[dedupResumable]]'s guard).
     */
   def corpusDedupMeta(corpus: DataFrame, keyCol: String, textCol: String,
                       numHashes: Int = 64, bands: Int = 16,
@@ -595,14 +608,13 @@ object Dedup {
       bandedKeys(reps.select(col(keyCol), col(textCol)),
         keyCol, textCol, numHashes, bands, shingleN)
         .withColumnRenamed(keyCol, "fresh_key"))
-    val cBands0 = cBandsSrc
     val cBands = persistTracked(
       if (bloomFpp > 0 && nReps * bands <= bloomMaxItems) {
         val keep = bloomProbe(
           fBands.select(xxhash64(col("band"), col("bucket")).as("h")),
           nReps * bands)
-        cBands0.filter(keep(xxhash64(col("band"), col("bucket"))))
-      } else cBands0)
+        cBandsSrc.filter(keep(xxhash64(col("band"), col("bucket"))))
+      } else cBandsSrc)
     // hot-bucket cap on the corpus side (round-7, closing the scaladoc's
     // documented boundary): exact collapse bounds STRUCTURAL hot buckets,
     // but a pathological non-identical bucket previously paid |f|×|c|

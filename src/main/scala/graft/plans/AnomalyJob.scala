@@ -79,7 +79,11 @@ object AnomalyJob {
     val s = madUdaf(col("actual_value"), unix_micros(col("run_time"))).as("s")
     val stats = dim match {
       case Some(d) => history.groupBy(col(d)).agg(s)
-      case None    => history.agg(s)
+      // dim-less: a GLOBAL aggregate emits one row even on empty input;
+      // drop the synthetic all-zero row so empty history produces zero
+      // verdict rows, exactly like the grouped path (and the previous
+      // groupByKey formulation)
+      case None    => history.agg(s).filter(col("s.n") > 0)
     }
     val unpacked = stats.select(dim.toSeq.map(col) ++ Seq(
       col("s.median").as("med"), col("s.mad").as("mad"),

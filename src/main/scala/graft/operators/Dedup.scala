@@ -420,17 +420,31 @@ object Dedup {
     * [[dedupIncremental]], which runs the same graph on a fresh snapshot
     * before linking it against the committed corpus.
     */
+  /** `preBanded` (round-7): a caller that already materialized the reps'
+    * (key, band, bucket) rows — [[dedupIncremental]] needs them for the
+    * cross join anyway — passes them in, so the signature UDF and band
+    * explode run ONCE per fresh rep instead of once per consumer.
+    */
   private def lshVerifiedGraph(reps: DataFrame, links: DataFrame,
                                keyCol: String, textCol: String,
                                numHashes: Int, bands: Int,
                                jaccardThreshold: Double, shingleN: Int,
-                               maxBucketSize: Int): DataFrame = {
+                               maxBucketSize: Int,
+                               preBanded: Option[DataFrame] = None)
+      : DataFrame = {
     // persist: the candidate set is referenced three times below (two
     // verify joins + the key-set prefilter); it is O(near-dup pairs) —
     // tiny relative to the corpus — so materializing it once is cheap
     // and avoids re-running signature generation per reference.
-    val cand = persistTracked(minhashCandidates(reps, keyCol, textCol,
-      numHashes, bands, shingleN, maxBucketSize, withEstimates = false))
+    val banded = preBanded.getOrElse(
+      bandedKeys(reps, keyCol, textCol, numHashes, bands, shingleN))
+    val buckets = banded.groupBy(col("band"), col("bucket"))
+      .agg(array_sort(collect_list(col(keyCol))).as("ms"))
+    val cand = persistTracked(
+      bucketPairs(buckets, maxBucketSize)
+        .select(least(col("p.a"), col("p.b")).as("key_a"),
+          greatest(col("p.a"), col("p.b")).as("key_b"))
+        .distinct())
     // exact verification: join candidates (a small table) back to the
     // representatives' shingle sets — true Jaccard, not the estimate.
     // Semi-join prefilter first: only representatives that actually appear
@@ -549,11 +563,19 @@ object Dedup {
                        bloomMaxItems: Long = 200000000L,
                        corpusMeta: Option[(DataFrame, DataFrame)] = None)
       : DataFrame = {
-    // fresh-internal dup graph + decisions: the batch pipeline, unchanged
+    // fresh-internal dup graph + decisions: the batch pipeline — with
+    // the fresh reps' band keys materialized ONCE (round-7) and shared
+    // between the fresh-internal candidate generation and the cross
+    // join below (the old shape ran the signature UDF + band explode
+    // twice over every fresh rep)
     val (reps0, links) = collapseExact(fresh, keyCol, textCol)
     val reps = persistTracked(reps0)
+    val fBandsRaw = persistTracked(
+      bandedKeys(reps.select(col(keyCol), col(textCol)),
+        keyCol, textCol, numHashes, bands, shingleN))
     val freshPairs = lshVerifiedGraph(reps, links, keyCol, textCol,
-      numHashes, bands, jaccardThreshold, shingleN, maxBucketSize)
+      numHashes, bands, jaccardThreshold, shingleN, maxBucketSize,
+      preBanded = Some(fBandsRaw))
     val decisions = persistTracked(
       dedupDecisions(fresh, freshPairs.select("key_a", "key_b"), keyCol,
         maxIter = maxIter, strict = strict, algorithm = algorithm))
@@ -604,10 +626,7 @@ object Dedup {
       .select(col("fresh_key"), col("corpus_key"))
     // near cross links: shared band buckets propose (keys only), exact
     // shingle jaccard decides — LSH proposes, it never decides
-    val fBands = persistTracked(
-      bandedKeys(reps.select(col(keyCol), col(textCol)),
-        keyCol, textCol, numHashes, bands, shingleN)
-        .withColumnRenamed(keyCol, "fresh_key"))
+    val fBands = fBandsRaw.withColumnRenamed(keyCol, "fresh_key")
     val cBands = persistTracked(
       if (bloomFpp > 0 && nReps * bands <= bloomMaxItems) {
         val keep = bloomProbe(

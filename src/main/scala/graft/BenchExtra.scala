@@ -106,10 +106,11 @@ object BenchExtra {
             val fn = SparkEntry.queries(name)
             counter.reset()
             val t = time { force(fn(s, sfDir)) }
-            // listener events are delivered async; give the bus a moment
-            // so stage counts land on the query that ran them (diagnostic
-            // tolerance — timings are unaffected)
-            Thread.sleep(100)
+            // listener events are delivered async; drain the bus
+            // deterministically so stage counts land on the query that
+            // ran them (timings are unaffected — measured outside)
+            org.apache.spark.graftbridge.ListenerBridge
+              .waitUntilListenerBusEmpty(s.sparkContext, 10000L)
             samples(name) = t :: samples(name)
             if (t < best(name)) {
               best(name) = t

@@ -193,17 +193,34 @@ object Main {
       require(writeMeta.isEmpty || against.isEmpty,
         "--write-corpus-meta is a corpus-commit-time step; drop --against")
       val a = args.filterNot(_.startsWith("--"))
-      // --write-corpus-meta needs no <outDir> (it writes only to the
-      // metadata dir)
+      // --write-corpus-meta is a corpus-commit-time step with its own
+      // positional shape (no <outDir>, no jaccard — neither is used):
+      //   dedup <docsParquet> [keyCol] [textCol] --write-corpus-meta=<dir>
+      // Sharing the normal shape's positions silently put keyCol into
+      // the unused outDir slot (metadata committed under the wrong key)
+      // or crashed parsing textCol as the jaccard double.
       require(a.length >= (if (writeMeta.nonEmpty) 2 else 3),
         "usage: graft.Main dedup <docsParquet> <outDir> [jaccard] [keyCol] " +
           "[textCol] [maxIter] [hashmin|star] [strict|besteffort] " +
           "[--against=<corpusParquet>] [--bloom-fpp=<d>] " +
-          "[--write-corpus-meta=<dir>] [--corpus-meta=<dir>]")
+          "[--corpus-meta=<dir>]\n" +
+          "   or: graft.Main dedup <docsParquet> [keyCol] [textCol] " +
+          "--write-corpus-meta=<dir>")
+      require(writeMeta.isEmpty || a.length <= 4,
+        s"--write-corpus-meta takes at most <docsParquet> [keyCol] " +
+          s"[textCol]; got ${a.length - 1} positionals")
       val args2 = a // positional view below
-      val threshold = if (args2.length > 3) args2(3).toDouble else 0.8
-      val keyCol = if (args2.length > 4) args2(4) else "doc_id"
-      val textCol = if (args2.length > 5) args2(5) else "text"
+      val threshold =
+        if (writeMeta.nonEmpty) 0.8
+        else if (args2.length > 3) args2(3).toDouble else 0.8
+      val keyCol =
+        if (writeMeta.nonEmpty)
+          (if (args2.length > 2) args2(2) else "doc_id")
+        else if (args2.length > 4) args2(4) else "doc_id"
+      val textCol =
+        if (writeMeta.nonEmpty)
+          (if (args2.length > 3) args2(3) else "text")
+        else if (args2.length > 5) args2(5) else "text"
       // component-propagation round cap: the dup-graph construction bounds
       // cluster diameter, but a corpus with long chains of near-dup pairs
       // (serially-edited pages) can exceed it — this is the operator knob;
@@ -225,13 +242,22 @@ object Main {
       val docs = spark.read.parquet(args2(1))
       // the metadata is only valid under the banding parameters it was
       // computed with — commit them next to it and refuse a drifted read
-      // (same philosophy as dedupResumable's _PARAMS guard)
+      // (same philosophy as dedupResumable's _PARAMS guard). The banding
+      // parameters are named HERE and passed explicitly to BOTH the
+      // write call and the incremental run below, so the guard validates
+      // the values the jobs actually use (a hardcoded string would keep
+      // matching itself if the library defaults ever moved).
+      val metaNumHashes = 64
+      val metaBands = 16
+      val metaShingleN = 3
       def metaParamsLine(kc: String, tc: String): String =
-        s"keyCol=$kc;textCol=$tc;numHashes=64;bands=16;shingleN=3"
+        s"keyCol=$kc;textCol=$tc;numHashes=$metaNumHashes;" +
+          s"bands=$metaBands;shingleN=$metaShingleN"
       if (writeMeta.nonEmpty) {
         val dir = writeMeta.get
         val (fps, bnds) = graft.operators.Dedup.corpusDedupMeta(
-          docs, keyCol, textCol)
+          docs, keyCol, textCol, numHashes = metaNumHashes,
+          bands = metaBands, shingleN = metaShingleN)
         fps.write.mode("overwrite").parquet(s"$dir/fingerprints")
         bnds.write.mode("overwrite").parquet(s"$dir/bands")
         graft.sources.Fs.writeString(s"$dir/_PARAMS",
@@ -247,21 +273,33 @@ object Main {
           val corpus = spark.read.parquet(corpusPath)
           val meta = readMeta.map { dir =>
             val pf = s"$dir/_PARAMS"
-            if (graft.sources.Fs.exists(pf)) {
-              val committed = graft.sources.Fs.readString(pf)
-              val requested = metaParamsLine(keyCol, textCol)
-              require(committed == requested,
-                s"--corpus-meta=$dir was committed under different " +
-                  s"parameters.\n  committed: $committed\n  requested: " +
-                  s"$requested\nBand keys from drifted parameters match " +
-                  "nothing and would silently drop every near-dup cross " +
-                  "link — rewrite the metadata with --write-corpus-meta.")
-            }
+            // a missing _PARAMS is a loud error, not a skipped check:
+            // metadata committed through the library API (no _PARAMS)
+            // could have been built under ANY banding parameters, and
+            // drifted band keys match nothing — silently dropping every
+            // near-dup cross link, the exact failure the guard exists
+            // to catch
+            require(graft.sources.Fs.exists(pf),
+              s"--corpus-meta=$dir has no _PARAMS record, so its banding " +
+                "parameters cannot be checked against this run's. " +
+                "Rewrite the metadata with --write-corpus-meta (which " +
+                "commits _PARAMS), or call Dedup.dedupIncremental " +
+                "directly if you can vouch for the parameters yourself.")
+            val committed = graft.sources.Fs.readString(pf)
+            val requested = metaParamsLine(keyCol, textCol)
+            require(committed == requested,
+              s"--corpus-meta=$dir was committed under different " +
+                s"parameters.\n  committed: $committed\n  requested: " +
+                s"$requested\nBand keys from drifted parameters match " +
+                "nothing and would silently drop every near-dup cross " +
+                "link — rewrite the metadata with --write-corpus-meta.")
             (spark.read.parquet(s"$dir/fingerprints"),
               spark.read.parquet(s"$dir/bands"))
           }
           graft.operators.Dedup.dedupIncremental(corpus, docs,
-            keyCol, textCol, jaccardThreshold = threshold,
+            keyCol, textCol, numHashes = metaNumHashes,
+            bands = metaBands, jaccardThreshold = threshold,
+            shingleN = metaShingleN,
             maxIter = maxIter, strict = strict, algorithm = algo,
             bloomFpp = bloomFpp, corpusMeta = meta)
             .write.mode("overwrite").parquet(args2(2))

@@ -252,6 +252,34 @@ object Dedup {
         .otherwise(star)).as("p"))
   }
 
+  /** Deterministic hot-GROUP cap shared by every incremental/streaming
+    * history-side join (dedupIncremental's corpus band buckets,
+    * semanticDedupIncremental's corpus cells, streamingSemanticDedup's
+    * seen-state cells): a group of more than `cap` rows keeps its
+    * minimum-key row — so the common resolution/adoption target stays
+    * stable — plus a deterministic hash-thresholded ~cap sample; groups
+    * at or under `cap` pass through byte-identically, so decisions only
+    * change on inputs whose groups exceed the cap (the same documented
+    * boundary as the text path's star expansion). Bounds the probe-side
+    * join work per group to |probe_group| × cap. The size aggregate is
+    * narrow (one row per distinct group, map-side combinable);
+    * `broadcastSizes` broadcasts it back when the group key space is
+    * small (e.g. k ~ √N cells), otherwise the join reuses the group
+    * partitioning.
+    */
+  private[graft] def capGroups(df: DataFrame, groupCols: Seq[String],
+                               keyCol: String, cap: Int,
+                               broadcastSizes: Boolean = false): DataFrame = {
+    val sizes = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__cn"), min(col(keyCol)).as("__cmin"))
+    val sz = if (broadcastSizes) broadcast(sizes) else sizes
+    df.join(sz, groupCols)
+      .filter(col("__cn") <= cap || col(keyCol) === col("__cmin") ||
+        pmod(xxhash64(col(keyCol)), lit(1000000L)) <
+          lit(1000000L) * cap / col("__cn"))
+      .drop("__cn", "__cmin")
+  }
+
   /** Observability for the cap: (band, bucket, size, star_expanded) rows —
     * run this next to a dedup job to see how many buckets exceeded
     * maxBucketSize and were star- rather than full-expanded.
@@ -637,22 +665,11 @@ object Dedup {
     // hot-bucket cap on the corpus side (round-7, closing the scaladoc's
     // documented boundary): exact collapse bounds STRUCTURAL hot buckets,
     // but a pathological non-identical bucket previously paid |f|×|c|
-    // pairs. An over-cap (band, bucket) keeps its minimum corpus key (the
-    // common resolved_to target stays stable) plus a deterministic
-    // hash-thresholded ~maxBucketSize sample; under-cap buckets — every
-    // real gate/spec corpus — pass through byte-identically. The count
-    // aggregate and both joins key on (band, bucket), so the planner
-    // reuses one partitioning across all three; the aggregate is narrow
-    // and map-side combinable (its output is one row per distinct bucket,
-    // so no unbounded collect-per-bucket row can form).
-    val cCnt = cBands.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("__cn"), min(col("corpus_key")).as("__cmin"))
-    val cBandsCapped = cBands.join(cCnt, Seq("band", "bucket"))
-      .filter(col("__cn") <= maxBucketSize ||
-        col("corpus_key") === col("__cmin") ||
-        pmod(xxhash64(col("corpus_key")), lit(1000000L)) <
-          lit(1000000L) * maxBucketSize / col("__cn"))
-      .select(col("band"), col("bucket"), col("corpus_key"))
+    // pairs — see [[capGroups]]. The count aggregate and both joins key
+    // on (band, bucket), so the planner reuses one partitioning across
+    // all three (no broadcastSizes: the bucket key space is large).
+    val cBandsCapped = capGroups(cBands, Seq("band", "bucket"),
+      "corpus_key", maxBucketSize)
     val crossCand = fBands.join(cBandsCapped, Seq("band", "bucket"))
       .select(col("fresh_key"), col("corpus_key")).distinct()
     // semi-join prefilters need no .distinct() on the probe side (round-7)
@@ -742,9 +759,10 @@ object Dedup {
     // ADVICE fix): java.io.File silently reported "missing" on any
     // non-local default FS, making the parameter-drift guard inert
     // exactly where the stage data lives
+    val hconf = spark.sparkContext.hadoopConfiguration
     val paramsPath = s"$stageDir/_PARAMS"
-    if (graft.sources.Fs.exists(paramsPath)) {
-      val committed = graft.sources.Fs.readString(paramsPath)
+    if (graft.sources.Fs.exists(paramsPath, hconf)) {
+      val committed = graft.sources.Fs.readString(paramsPath, hconf)
       require(committed == paramsLine,
         s"dedupResumable: stage dir $stageDir was committed with " +
           s"different parameters.\n  committed: $committed\n  " +
@@ -752,13 +770,13 @@ object Dedup {
           "computed under the old policy — use a fresh stage dir (or " +
           "delete this one) to change parameters.")
     } else {
-      graft.sources.Fs.writeString(paramsPath, paramsLine)
+      graft.sources.Fs.writeString(paramsPath, paramsLine, conf = hconf)
     }
     val ran = scala.collection.mutable.Buffer.empty[String]
     val skipped = scala.collection.mutable.Buffer.empty[String]
     def stage(name: String)(compute: => DataFrame): DataFrame = {
       val path = s"$stageDir/$name"
-      if (graft.sources.Fs.exists(s"$path/_SUCCESS")) {
+      if (graft.sources.Fs.exists(s"$path/_SUCCESS", hconf)) {
         skipped += name
       } else {
         if (ran.size >= failAfter)

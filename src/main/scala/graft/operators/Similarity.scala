@@ -376,24 +376,16 @@ object Similarity {
     val fa = assignCells(fresh, vecCol, centroids)
       .select(col("__cell"), col(keyCol), col(vecCol))
     // hot-cell cap on the CORPUS side of the cross join (round-7): an
-    // over-cap corpus cell keeps its minimum-key member (so the common
-    // resolved_to target is stable) plus a deterministic hash-thresholded
-    // ~maxCellSize sample; under-cap cells — every real gate/spec corpus —
-    // pass through untouched, so decisions only change on corpora whose
-    // cells exceed the cap (the same documented boundary as the text
-    // path's star expansion). Bounds the fresh×corpus pair work per cell
-    // to |fresh_cell| × maxCellSize.
+    // over-cap corpus cell keeps its minimum-key member plus a
+    // deterministic hash-thresholded ~maxCellSize sample — see
+    // [[Dedup.capGroups]], the shared formulation. Bounds the
+    // fresh×corpus pair work per cell to |fresh_cell| × maxCellSize;
+    // the k-row cell-size frame broadcasts.
     val caAll = assignCells(corpus, vecCol, centroids)
       .select(col("__cell"), col(keyCol).as("corpus_key"),
         col(vecCol).as("__vc"))
-    val cSizes = caAll.groupBy(col("__cell"))
-      .agg(count(lit(1)).as("__cn"), min(col("corpus_key")).as("__cmin"))
-    val ca = caAll.join(broadcast(cSizes), Seq("__cell"))
-      .filter(col("__cn") <= maxCellSize ||
-        col("corpus_key") === col("__cmin") ||
-        pmod(xxhash64(col("corpus_key")), lit(1000000L)) <
-          lit(1000000L) * maxCellSize / col("__cn"))
-      .select(col("__cell"), col("corpus_key"), col("__vc"))
+    val ca = Dedup.capGroups(caAll, Seq("__cell"), "corpus_key",
+      maxCellSize, broadcastSizes = true)
     // fresh-internal dup graph + decisions (hot cells star-expand)
     val ffPairs = cellPairs(fa, keyCol, vecCol, maxCellSize)
       .filter(cosine(col("__va"), col("__vb")) >= cosineThreshold)

@@ -15,24 +15,31 @@ import org.apache.spark.sql.SparkSession
   */
 object Fs {
 
-  private def conf: Configuration =
+  /** Fallback Hadoop conf from the global active/default session. In a
+    * multi-session process (tests that create and stop sessions) this
+    * can differ from a caller's own session — call sites that hold a
+    * session should pass its `sparkContext.hadoopConfiguration`
+    * explicitly via the `conf` parameter.
+    */
+  private def sessionConf: Configuration =
     SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
       .map(_.sparkContext.hadoopConfiguration)
       .getOrElse(new Configuration())
 
-  def exists(path: String): Boolean = {
+  def exists(path: String, conf: Configuration = sessionConf): Boolean = {
     val p = new Path(path)
     p.getFileSystem(conf).exists(p)
   }
 
   /** True when `path` exists and contains at least one entry. */
-  def nonEmptyDir(path: String): Boolean = {
+  def nonEmptyDir(path: String,
+                  conf: Configuration = sessionConf): Boolean = {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
     fs.exists(p) && fs.listStatus(p).nonEmpty
   }
 
-  def readString(path: String): String = {
+  def readString(path: String, conf: Configuration = sessionConf): String = {
     val p = new Path(path)
     val in = p.getFileSystem(conf).open(p)
     try {
@@ -46,12 +53,14 @@ object Fs {
 
   /** Write a small control file (parent directories created by the FS). */
   def writeString(path: String, s: String,
-                  overwrite: Boolean = false): Unit = {
+                  overwrite: Boolean = false,
+                  conf: Configuration = sessionConf): Unit = {
     val p = new Path(path)
     val out = p.getFileSystem(conf).create(p, overwrite)
     try out.write(s.getBytes("UTF-8")) finally out.close()
   }
 
   /** Create an empty marker file (parents included), like touch. */
-  def touch(path: String): Unit = writeString(path, "", overwrite = true)
+  def touch(path: String, conf: Configuration = sessionConf): Unit =
+    writeString(path, "", overwrite = true, conf = conf)
 }

@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
 class MetricsStore(val path: String) {
 
   def exists(spark: SparkSession): Boolean =
-    Fs.nonEmptyDir(path)
+    Fs.nonEmptyDir(path, spark.sparkContext.hadoopConfiguration)
 
   /** mergeSchema: the ledger accumulates files from different engine
     * versions / dimensioned histories; reads must union their schemas

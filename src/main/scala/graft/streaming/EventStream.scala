@@ -203,7 +203,7 @@ object EventStream {
   private def priorState(spark: SparkSession, dir: String, batchId: Long,
                          like: DataFrame,
                          retainBatches: Long = Long.MaxValue): DataFrame =
-    if (graft.sources.Fs.exists(dir))
+    if (graft.sources.Fs.exists(dir, spark.sparkContext.hadoopConfiguration))
       spark.read.parquet(dir)
         .filter(col("batch") < batchId &&
           col("batch") >= math.max(0L, batchId - retainBatches))
@@ -475,9 +475,22 @@ object EventStream {
           .select(col(keyCol), col("__cell"), col(vecCol)).persist()
         val priorSeen = priorState(spark2, seenDir, batchId,
           assigned.withColumn("cluster_id", col(keyCol)), retainBatches)
+        // hot-cell cap on the SEEN-STATE side (round-7): without it the
+        // batch-vs-history join pays |batch_cell| × |seen_cell| cosines,
+        // and the seen cell GROWS every batch — exactly the unbounded
+        // quadratic the in-batch cap below closes for new-vs-new pairs.
+        // An over-cap seen cell keeps its minimum-key row (the stable
+        // adoption target) plus a deterministic ~maxCellSize sample
+        // ([[graft.operators.Dedup.capGroups]], the shared formulation);
+        // under-cap cells — every spec corpus — are untouched. The
+        // boundary is recall-only: a duplicate of a sampled-out seen row
+        // can be re-admitted, the same documented horizon boundary as
+        // retainBatches.
+        val priorCapped = Dedup.capGroups(priorSeen, Seq("__cell"),
+          keyCol, maxCellSize, broadcastSizes = true)
         val cos = Similarity.cosine(col(vecCol), col("__seen_v"))
         val seenLinks = assigned
-          .join(priorSeen.select(col(keyCol).as("__seen_key"),
+          .join(priorCapped.select(col(keyCol).as("__seen_key"),
               col("__cell"), col(vecCol).as("__seen_v"),
               col("cluster_id")),
             Seq("__cell"))

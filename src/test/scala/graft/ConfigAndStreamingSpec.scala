@@ -618,6 +618,43 @@ class StreamingSpec extends AnyFunSuite {
     // semanticDedupIncremental's empty-corpus degeneracy spec pins.
   }
 
+  test("streaming SEMANTIC dedup hot-cell cap: an over-cap SEEN cell " +
+    "keeps its min-key hub, and a later duplicate of the hub still drops") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("ssdc").toString
+    val x = Seq(1.0f, 0.0f, 0.0f, 0.0f)
+    val z = Seq(0.0f, 1.0f, 0.0f, 0.0f)
+    val w = Seq(0.0f, 0.0f, 1.0f, 0.0f)
+    val centroidSource = Seq((0L, x), (1L, z), (2L, w))
+      .toDF("vec_id", "embedding")
+    def run(): Map[Long, Boolean] =
+      graft.streaming.EventStream.streamingSemanticDedup(spark,
+        s"$tmp/in", s"$tmp/out", s"$tmp/ckpt", centroidSource,
+        k = 3, cosineThreshold = 0.95, maxCellSize = 2)
+        .select("vec_id", "keep")
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // batch 1: FOUR mutually-distinct vectors (pairwise cosine < 0.95)
+    // that all land in centroid x's cell — the seen state's cell ends at
+    // 4 rows, over maxCellSize = 2, so the batch-vs-seen join of every
+    // later batch consults the capped sample, never all four
+    Seq((10L, Seq(0.95f, 0.31f, 0.0f, 0.0f)),
+        (11L, Seq(0.95f, -0.31f, 0.0f, 0.0f)),
+        (12L, Seq(0.95f, 0.0f, 0.31f, 0.0f)),
+        (13L, Seq(0.95f, 0.0f, -0.31f, 0.0f)))
+      .toDF("vec_id", "embedding").write.parquet(s"$tmp/in")
+    assert(run() == Map(10L -> true, 11L -> true, 12L -> true, 13L -> true))
+    // batch 2: a near-duplicate of key 10 — the cell's MINIMUM key, which
+    // capGroups keeps unconditionally (the stable adoption target) — must
+    // still adopt cluster 10 and drop; a fresh direction (cell w) keeps.
+    // Deterministic regardless of which of 11/12/13 the hash sample
+    // retains, because the duplicate targets the guaranteed-kept hub.
+    Seq((20L, Seq(0.951f, 0.312f, 0.0f, 0.0f)), (21L, w))
+      .toDF("vec_id", "embedding").write.mode("append").parquet(s"$tmp/in")
+    assert(run() == Map(10L -> true, 11L -> true, 12L -> true, 13L -> true,
+      20L -> false, 21L -> true))
+  }
+
   test("streaming NEAR-dup dedup: a later near-duplicate (jaccard >= 0.8, " +
     "not byte-equal) is dropped across a restart; decisions agree with " +
     "the batch LSH pipeline") {
